@@ -1,0 +1,78 @@
+"""Caption evaluation harness — the ``core/evaluations.py:12-64`` equivalent.
+
+``evaluate(...)`` loads ``{split}.references.pkl`` and
+``{split}.candidate.captions.pkl`` from the reference-compatible layout and
+scores BLEU-1..4 / METEOR / ROUGE-L / CIDEr / CIDEr-D (METEOR and SPICE are
+skipped with a notice when their Java jars are absent — the reference ships
+SPICE commented out, evaluations.py:19).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from ..utils.io import load_pickle
+from .bleu import Bleu
+from .cider import Cider, CiderD
+from .meteor import Meteor, MeteorUnavailable
+from .rouge import Rouge
+from .spice import Spice, SpiceUnavailable
+
+
+def score_captions(ref_captions: Dict, hypo_captions: Dict,
+                   include_spice: bool = False,
+                   verbose: bool = True) -> Dict[str, float]:
+    """evaluations.py:12-34 with graceful Java gating."""
+    scorers = [
+        (Bleu(4), ["BLEU_1", "BLEU_2", "BLEU_3", "BLEU_4"]),
+        (Meteor(), "METEOR"),
+        (Rouge(), "ROUGE_L"),
+        (Cider(), "CIDEr"),
+        (CiderD(), "CIDEr-D"),
+    ]
+    if include_spice:
+        scorers.append((Spice(), "SPICE"))
+
+    final_scores: Dict[str, float] = {}
+    for scorer, method in scorers:
+        try:
+            scores, _ = scorer.compute_score(gts=ref_captions,
+                                             res=hypo_captions)
+        except (MeteorUnavailable, SpiceUnavailable) as e:
+            if verbose:
+                print(f"[metrics] skipping {method}: {e}")
+            continue
+        if isinstance(scores, list):
+            for name, s in zip(method, scores):
+                final_scores[name] = s
+        else:
+            final_scores[method] = scores
+    return final_scores
+
+
+def evaluate(target_dir: str, data_path: str, split: str = "valid",
+             get_scores: bool = False,
+             include_spice: bool = False) -> Optional[Dict[str, float]]:
+    """evaluations.py:37-64: pickle-in, scores-out, printed table."""
+    reference_path = os.path.join(data_path, split,
+                                  f"{split}.references.pkl")
+    candidate_path = os.path.join(target_dir,
+                                  f"{split}.candidate.captions.pkl")
+
+    reference_captions = load_pickle(reference_path)
+    candidate_captions = load_pickle(candidate_path)
+
+    hypo_captions = {i: [c] for i, c in enumerate(candidate_captions)}
+
+    final_scores = score_captions(reference_captions, hypo_captions,
+                                  include_spice=include_spice)
+
+    print()
+    for name, score in final_scores.items():
+        print(f"{name}:\t{score}")
+    print()
+
+    if get_scores:
+        return final_scores
+    return None

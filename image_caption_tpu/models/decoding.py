@@ -1,0 +1,302 @@
+"""KV-cached caption decoding: greedy (lax.scan) and vectorized beam search.
+
+The reference re-runs the FULL decoder over the whole growing prefix at every
+step (greedy: model.py:101-132; beam: model.py:135-200 with a Python loop per
+beam).  Here decoding is a single compiled ``lax.scan`` over a KV cache with
+static shapes — O(T) instead of O(T^2) decoder work, no per-step dispatch,
+and the beam dimension is vectorized instead of looped.
+
+Output parity: token-for-token identical to the reference's decode rules —
+  * greedy: argmax over softmax(classifier(h_t)) (model.py:125-128);
+  * beam: scores accumulate raw softmax probabilities for the XE model
+    (model.py:183) and log-probabilities for the RL policy (model_RL.py:72,182),
+    no EOS early exit, return beam 0 (model.py:200);
+  * pad-token quirks: key-pad masking over generated pads and non-pad
+    zeroing of block outputs (model.py:421,461-486).
+Cross-attention k/v are projected once per sequence (the reference recomputes
+them every step for every layer).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, START_IDX
+from ..ops import masks as M
+from . import layers as L
+from .captioner import (_decoder_pos_table, _move_first_image_feature,
+                        encoder_apply)
+
+Params = Dict
+
+
+class DecodeCache(NamedTuple):
+    """Per-layer self-attention KV cache + key-validity mask."""
+    k: Tuple[jnp.ndarray, ...]        # each [B, H, T, dh_k]
+    v: Tuple[jnp.ndarray, ...]        # each [B, H, T, dh_v]
+    valid: jnp.ndarray                # [B, T] bool — key was a non-pad token
+
+
+def init_cache(cfg: ModelConfig, batch: int,
+               dtype=jnp.float32) -> DecodeCache:
+    t = cfg.max_length - 1            # decoder-internal positions
+    h = cfg.decode_num_heads
+    dh_k = cfg.decode_q_k_dim // h
+    dh_v = cfg.decode_v_dim // h
+    n = cfg.decode_num_blocks
+    return DecodeCache(
+        k=tuple(jnp.zeros((batch, h, t, dh_k), dtype) for _ in range(n)),
+        v=tuple(jnp.zeros((batch, h, t, dh_v), dtype) for _ in range(n)),
+        valid=jnp.zeros((batch, t), dtype=bool),
+    )
+
+
+def precompute_cross_kv(params: Params, cfg: ModelConfig,
+                        encode_output: jnp.ndarray):
+    """Project encoder output to per-layer cross k/v once per sequence."""
+    h = cfg.decode_num_heads
+    ks, vs = [], []
+    for block in params["blocks"]:
+        p = block["cross_attn"]
+        k = L.linear(p["k"], encode_output)
+        v = L.linear(p["v"], encode_output)
+        b, lk, _ = k.shape
+        ks.append(k.reshape(b, lk, h, -1).transpose(0, 2, 1, 3))
+        vs.append(v.reshape(b, lk, h, -1).transpose(0, 2, 1, 3))
+    return tuple(ks), tuple(vs)
+
+
+def _attend(q, k, v, neg_mask, temperature):
+    """q [B,H,1,dh] x k/v [B,H,T,dh]; neg_mask bool [B,1,T] True=masked.
+    Returns (out [B,H,1,dh], weights [B,H,1,T])."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q / temperature, k,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(neg_mask[:, None, :, :], -jnp.inf, scores)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out, attn
+
+
+def _mha_step_self(p: Params, x, cache_k, cache_v, pos, valid, *,
+                   num_heads: int):
+    """Single-query self-attention against the cache (post-norm residual)."""
+    b = x.shape[0]
+    q = L.linear(p["q"], x).reshape(b, 1, num_heads, -1).transpose(0, 2, 1, 3)
+    k_new = L.linear(p["k"], x).reshape(b, 1, num_heads, -1)
+    v_new = L.linear(p["v"], x).reshape(b, 1, num_heads, -1)
+    cache_k = jax.lax.dynamic_update_slice_in_dim(
+        cache_k, k_new.transpose(0, 2, 1, 3), pos, axis=2)
+    cache_v = jax.lax.dynamic_update_slice_in_dim(
+        cache_v, v_new.transpose(0, 2, 1, 3), pos, axis=2)
+
+    t = cache_k.shape[2]
+    # key is masked if it's a pad token OR beyond the current position
+    pos_ids = jnp.arange(t)[None, :]
+    neg_mask = jnp.logical_or(~valid, pos_ids > pos)[:, None, :]
+
+    temperature = math.sqrt(q.shape[-1])
+    out, _ = _attend(q, cache_k, cache_v, neg_mask, temperature)
+    out = out.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+    out = L.linear(p["joint"], out)
+    out = L.layer_norm(p["norm"], out + x)
+    return out, cache_k, cache_v
+
+
+def _mha_step_cross(p: Params, x, k, v, cross_neg_mask, *, num_heads: int):
+    b = x.shape[0]
+    q = L.linear(p["q"], x).reshape(b, 1, num_heads, -1).transpose(0, 2, 1, 3)
+    temperature = math.sqrt(q.shape[-1])
+    out, attn = _attend(q, k, v, cross_neg_mask, temperature)
+    out = out.transpose(0, 2, 1, 3).reshape(b, 1, -1)
+    out = L.linear(p["joint"], out)
+    out = L.layer_norm(p["norm"], out + x)
+    return out, attn
+
+
+def decoder_step(params: Params, cfg: ModelConfig, token: jnp.ndarray,
+                 pos, cache: DecodeCache, cross_kv, cross_neg_mask,
+                 encode_output: jnp.ndarray):
+    """One decode step.  token [B] int32, pos scalar int32.
+
+    Returns (logits [B, V], new_cache, cross_attn [B, H, Lk] of last block).
+    """
+    dec = params["decoder"]
+    b = token.shape[0]
+    is_word = token != cfg.pad_idx
+    valid = jax.lax.dynamic_update_slice_in_dim(
+        cache.valid, is_word[:, None], pos, axis=1)
+
+    x = L.embedding(dec["word_embedding"], token[:, None])
+    x = L.linear(dec["word_embedding_linear"], x)
+    table = _decoder_pos_table(cfg)
+    x = x + jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)
+    x = L.layer_norm(dec["norm"], x)
+
+    nonpad = is_word[:, None, None].astype(x.dtype)
+    cross_k, cross_v = cross_kv
+    new_k, new_v = [], []
+    cross_attn = None
+    for i, block in enumerate(dec["blocks"]):
+        x, ck, cv = _mha_step_self(block["self_attn"], x, cache.k[i],
+                                   cache.v[i], pos, valid,
+                                   num_heads=cfg.decode_num_heads)
+        new_k.append(ck)
+        new_v.append(cv)
+        x, cross_attn = _mha_step_cross(block["cross_attn"], x, cross_k[i],
+                                        cross_v[i], cross_neg_mask,
+                                        num_heads=cfg.decode_num_heads)
+        x = L.ffn(block["ffn"], x, dropout_rate=0.0, deterministic=True)
+        # non-pad zeroing of the current row (model.py:444,203-204)
+        x = x * nonpad
+
+    if cfg.move_first_image_feature:
+        # the tail FFN is NOT non-pad zeroed (model.py:451-457 runs after
+        # the blocks' zeroing)
+        x = _move_first_image_feature(params["decoder"], cfg, x,
+                                      encode_output, deterministic=True)
+
+    logits = L.linear(params["classifier"], x[:, 0])
+    new_cache = DecodeCache(k=tuple(new_k), v=tuple(new_v), valid=valid)
+    return logits, new_cache, cross_attn[:, :, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas", "return_attention"))
+def greedy_decode(params: Params, cfg: ModelConfig,
+                  object_features: jnp.ndarray,
+                  position_features: jnp.ndarray, *,
+                  use_pallas: bool = False,
+                  return_attention: bool = False):
+    """Replaces model.py:101-132.  Returns (tokens [B, max_length+1],
+    attention [steps, B, S] or None).
+
+    attention[t] = mean over heads of the last block's cross-attention at
+    step t (model.py:123) — used by the demo overlay.
+    """
+    encode_output, _ = encoder_apply(params["encoder"], cfg, object_features,
+                                     position_features, deterministic=True,
+                                     use_pallas=use_pallas)
+    b = encode_output.shape[0]
+    cross_kv = precompute_cross_kv(params["decoder"], cfg, encode_output)
+    cross_neg_mask = jnp.all(position_features == 0, axis=-1)[:, None, :]
+
+    tokens0 = jnp.zeros((b, cfg.max_length + 1), jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(START_IDX)
+    cache0 = init_cache(cfg, b, object_features.dtype)
+
+    def body(carry, t):
+        tokens, cache = carry
+        token_t = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1)[:, 0]
+        logits, cache, cross_attn = decoder_step(
+            params, cfg, token_t, t, cache, cross_kv, cross_neg_mask,
+            encode_output)
+        # softmax -> argmax == argmax(logits) (model.py:126-128)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], t + 1, axis=1)
+        attn_mean = jnp.mean(cross_attn, axis=1)      # [B, S]
+        return (tokens, cache), attn_mean
+
+    (tokens, _), attn = jax.lax.scan(
+        body, (tokens0, cache0), jnp.arange(cfg.max_length - 1))
+    return tokens, (attn if return_attention else None)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+def _gather_beams(x: jnp.ndarray, beam_idx: jnp.ndarray,
+                  batch: int, k: int) -> jnp.ndarray:
+    """x [B*K, ...] reordered by beam_idx [B, K] -> [B*K, ...]."""
+    xr = x.reshape(batch, k, *x.shape[1:])
+    idx = beam_idx.reshape(batch, k, *([1] * (x.ndim - 1)))
+    out = jnp.take_along_axis(xr, idx, axis=1)
+    return out.reshape(batch * k, *x.shape[1:])
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "score_mode",
+                                   "use_pallas"))
+def beam_search(params: Params, cfg: ModelConfig,
+                object_features: jnp.ndarray,
+                position_features: jnp.ndarray, *,
+                beam_size: int,
+                score_mode: str = "prob",
+                use_pallas: bool = False) -> jnp.ndarray:
+    """Replaces model.py:135-200 / model_RL.py:134-199.
+
+    score_mode 'prob'     — running sum of softmax probabilities
+                            (XE model parity, model.py:183);
+    score_mode 'logprob'  — running sum of log-probs (RL-policy parity,
+                            model_RL.py:72,182 — also the "correct" beam).
+    Returns tokens [B, max_length] — the best beam.
+    """
+    assert score_mode in ("prob", "logprob")
+    encode_output, _ = encoder_apply(params["encoder"], cfg, object_features,
+                                     position_features, deterministic=True,
+                                     use_pallas=use_pallas)
+    b, s, d = encode_output.shape
+    k = beam_size
+    v = cfg.num_vocab
+
+    def scorefn(logits):
+        return (jax.nn.softmax(logits, axis=-1) if score_mode == "prob"
+                else jax.nn.log_softmax(logits, axis=-1))
+
+    # ---- step 0 on the un-expanded batch (model.py:148-166)
+    cross_kv_b = precompute_cross_kv(params["decoder"], cfg, encode_output)
+    cross_neg_b = jnp.all(position_features == 0, axis=-1)[:, None, :]
+    cache_b = init_cache(cfg, b, object_features.dtype)
+    start = jnp.full((b,), START_IDX, jnp.int32)
+    logits0, cache_b, _ = decoder_step(params, cfg, start, 0, cache_b,
+                                       cross_kv_b, cross_neg_b,
+                                       encode_output)
+    p0 = scorefn(logits0)
+    scores, tok1 = jax.lax.top_k(p0, k)               # [B, K] each
+
+    # ---- expand all state to B*K (beam-major within batch)
+    def expand(x):
+        return jnp.repeat(x, k, axis=0)
+
+    enc_bk = expand(encode_output)
+    cross_kv = jax.tree.map(expand, cross_kv_b)
+    cross_neg = expand(cross_neg_b)
+    cache = jax.tree.map(expand, cache_b)
+
+    tokens = jnp.zeros((b * k, cfg.max_length), jnp.int32)
+    tokens = tokens.at[:, 0].set(START_IDX)
+    tokens = tokens.at[:, 1].set(tok1.reshape(-1))
+    scores = scores.reshape(-1)                        # [B*K]
+
+    def body(carry, t):
+        tokens, scores, cache = carry
+        token_t = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1)[:, 0]
+        logits, cache, _ = decoder_step(params, cfg, token_t, t, cache,
+                                        cross_kv, cross_neg, enc_bk)
+        p = scorefn(logits)                            # [B*K, V]
+        combined = p + scores[:, None]
+        flat = combined.reshape(b, k * v)
+        new_scores, idx = jax.lax.top_k(flat, k)       # [B, K]
+        beam_idx = idx // v
+        new_tok = (idx % v).astype(jnp.int32)
+
+        tokens = _gather_beams(tokens, beam_idx, b, k)
+        cache = jax.tree.map(lambda x: _gather_beams(x, beam_idx, b, k),
+                             cache)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, new_tok.reshape(-1)[:, None], t + 1, axis=1)
+        return (tokens, new_scores.reshape(-1), cache), None
+
+    (tokens, scores, _), _ = jax.lax.scan(
+        body, (tokens, scores, cache), jnp.arange(1, cfg.max_length - 1))
+    # beam 0 = highest accumulated score (sorted top_k) — model.py:200
+    return tokens.reshape(b, k, -1)[:, 0]

@@ -1,0 +1,143 @@
+"""Scaled dot-product attention: XLA path + fused Pallas TPU kernel.
+
+Semantics match the reference (modules.py:6-27):
+``softmax(q/temperature @ k^T  masked_fill -inf)``, optional dropout on the
+attention weights, then ``@ v``.  Returns ``(output, attention_weights)``.
+
+Two execution paths:
+  * ``_attention_xla``   — plain jnp ops; differentiable; used for training
+    and whenever attention weights are consumed (demo overlays).
+  * ``attention_pallas`` — single-pass fused kernel (scores, mask, softmax,
+    weighted sum in VMEM; one HBM round-trip).  Inference path.
+
+Shapes: q [B, H, Lq, Dh], k/v [B, H, Lk, Dh], mask bool [B, Lq, Lk]
+(True = masked).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
+            deterministic: bool) -> jnp.ndarray:
+    """Inverted dropout (torch semantics: scale by 1/(1-p) in training)."""
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _attention_xla(q, k, v, mask, temperature, *,
+                   dropout_rate=0.0, rng=None, deterministic=True):
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q / temperature, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], _NEG_INF, scores)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn_dropped = dropout(attn, dropout_rate, rng, deterministic)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn_dropped, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype), attn
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+def _fused_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
+                            *, temperature: float):
+    """One (batch, head) tile: the whole [Lq, Dh] x [Lk, Dh] problem fits in
+    VMEM for caption-scale shapes (L <= 64, Dh <= 128)."""
+    q = q_ref[0]                                    # [Lq, Dh]
+    k = k_ref[0]                                    # [Lk, Dh]
+    v = v_ref[0]                                    # [Lk, Dh]
+    scores = jax.lax.dot_general(
+        q.astype(jnp.float32) * (1.0 / temperature), k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [Lq, Lk]
+    masked = mask_ref[0] != 0                        # [Lq, Lk]
+    scores = jnp.where(masked, _NEG_INF, scores)
+    # Numerically-stable softmax on the VPU.
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    # Guard fully-masked rows (max = -inf) so exp doesn't produce NaN*0.
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    out_ref[0] = jax.lax.dot_general(
+        p, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("temperature",))
+def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     mask: Optional[jnp.ndarray],
+                     temperature: float) -> jnp.ndarray:
+    """Fused attention forward (no dropout, no weight output).
+
+    q [B,H,Lq,Dh], k/v [B,H,Lk,Dh], mask bool [B,Lq,Lk] or None.
+    """
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    if mask is None:
+        mask_i8 = jnp.zeros((b, lq, lk), dtype=jnp.int8)
+    else:
+        mask_i8 = mask.astype(jnp.int8)
+
+    grid = (b, h)
+    out = pl.pallas_call(
+        functools.partial(_fused_attention_kernel, temperature=temperature),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, lq, dh), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, dh), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk, dh), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, lk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, lq, dh), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(
+        q.reshape(b, h, lq, dh),
+        k.reshape(b, h, lk, dh),
+        v.reshape(b, h, lk, dh),
+        mask_i8,
+    )
+    return out
+
+
+def sdp_attention(q, k, v, mask, temperature, *,
+                  dropout_rate: float = 0.0,
+                  rng: Optional[jax.Array] = None,
+                  deterministic: bool = True,
+                  use_pallas: bool = False,
+                  need_weights: bool = True
+                  ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Dispatch between the fused Pallas kernel and the XLA path.
+
+    The Pallas path is used only when gradients/weights/dropout are not
+    required (inference).  Falls back transparently on non-TPU backends.
+    """
+    if use_pallas and deterministic and not need_weights:
+        try:
+            return attention_pallas(q, k, v, mask, temperature), None
+        except Exception:
+            pass  # non-TPU backend or unsupported shape: fall through
+    out, attn = _attention_xla(q, k, v, mask, temperature,
+                               dropout_rate=dropout_rate, rng=rng,
+                               deterministic=deterministic)
+    return out, (attn if need_weights else None)

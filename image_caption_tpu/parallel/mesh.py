@@ -1,0 +1,144 @@
+"""Device mesh construction and sharding rules.
+
+The reference's only multi-device story is manual model placement on two
+CUDA devices (``/root/reference/core/config.py:32-48``) with no collective
+communication of any kind (SURVEY.md §2.11).  Here parallelism is first-class
+and TPU-native: a named ``jax.sharding.Mesh`` with axes
+
+  * ``data``     — batch sharding (DP); gradients all-reduce over ICI,
+  * ``model``    — tensor-parallel axis, plumbed through every matmul-heavy
+                   param so larger presets (d_model 1024+) can shard; size 1
+                   for the flagship preset (the model is ~10 MB),
+  * ``sequence`` — reserved-but-plumbed axis for long-context variants
+                   (SURVEY.md §5 "long-context"); size 1 everywhere today.
+
+All sharding is expressed as ``PartitionSpec`` trees consumed by ``jax.jit``
+(in_shardings/out_shardings) — XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+SEQUENCE_AXIS = "sequence"
+MESH_AXES = (DATA_AXIS, MODEL_AXIS, SEQUENCE_AXIS)
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              data: int = -1, model: int = 1, sequence: int = 1) -> Mesh:
+    """Build a (data, model, sequence) mesh over ``devices``.
+
+    ``data=-1`` means "all remaining devices".  Axis sizes must multiply to
+    the device count.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % (model * sequence) == 0, (n, model, sequence)
+        data = n // (model * sequence)
+    assert data * model * sequence == n, (
+        f"mesh {data}x{model}x{sequence} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model, sequence)
+    return Mesh(arr, MESH_AXES)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding for input arrays: [B, ...] split over `data`."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Parameter partition rules
+# ---------------------------------------------------------------------------
+
+def _is_leaf_dict(d) -> bool:
+    return isinstance(d, dict) and all(
+        not isinstance(v, (dict, list, tuple)) for v in d.values())
+
+
+def param_spec(path: tuple, leaf) -> P:
+    """PartitionSpec for one parameter leaf, keyed by its pytree path.
+
+    Tensor-parallel layout (megatron-style, applied when the `model` axis
+    has size > 1; with size 1 every spec degenerates to replication):
+      * attention q/k/v kernels  [d, qk/v_dim]   -> shard dim 1 (column)
+      * attention joint kernel   [v_dim, d]      -> shard dim 0 (row)
+      * FFN w1 kernel            [d, hidden]     -> shard dim 1
+      * FFN w2 kernel            [hidden, d]     -> shard dim 0
+      * classifier kernel        [d, vocab]      -> shard dim 1 (vocab)
+      * embedding table          [vocab, e]      -> shard dim 0 (vocab)
+      * everything else (norms, biases, small embeds) replicated
+    """
+    names = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+    names = [str(n) for n in names if n is not None]
+    joined = "/".join(names)
+    if getattr(leaf, "ndim", 0) < 2:
+        return P()
+    if joined.endswith("q/kernel") or joined.endswith("k/kernel") \
+            or joined.endswith("v/kernel"):
+        return P(None, MODEL_AXIS)
+    if joined.endswith("joint/kernel"):
+        return P(MODEL_AXIS, None)
+    if joined.endswith("w1/kernel"):
+        return P(None, MODEL_AXIS)
+    if joined.endswith("w2/kernel"):
+        return P(MODEL_AXIS, None)
+    if joined.endswith("classifier/kernel"):
+        return P(None, MODEL_AXIS)
+    if joined.endswith("word_embedding/table"):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def param_partition_specs(params):
+    """PartitionSpec pytree matching ``params``."""
+    return jax.tree_util.tree_map_with_path(param_spec, params)
+
+
+def param_shardings(mesh: Mesh, params):
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_partition_specs(params),
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a param pytree onto the mesh with the TP layout."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params,
+        param_shardings(mesh, params))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place host batch arrays with batch-dim sharding over `data`."""
+    s = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def pad_batch_to(batch_arrays, multiple: int):
+    """Pad leading batch dim to a multiple (for even data sharding).
+
+    Returns (padded_arrays, real_count).  Padding rows are zeros, which the
+    captioner treats as fully-padded items (all masks fire).
+    """
+    b = batch_arrays[0].shape[0]
+    target = math.ceil(b / multiple) * multiple
+    if target == b:
+        return batch_arrays, b
+    out = []
+    for a in batch_arrays:
+        pad = [(0, target - b)] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(np.asarray(a), pad))
+    return type(batch_arrays)(out), b

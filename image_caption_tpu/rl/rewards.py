@@ -1,0 +1,115 @@
+"""Host-side self-critical reward computation (CPU, string n-gram metrics).
+
+Mirrors ``StructureCriterion`` (loss.py:96-216): per-sentence reward =
+``cider_w * CIDEr-D(sample, target) + bleu_w * BLEU-4(sample, target)``,
+plus the self-CIDEr diversity term (loss.py:144-148,189-216 — identically 0
+for single-sample batches, see ``get_div``).  Sequences are decoded to
+strings with the standard detokenizer and scored one-vs-one, exactly like
+the reference feeds ``{i: [res_i]}`` / ``{i: [gts_i]}`` (loss.py:166-167).
+
+This runs on host inside the jitted RL train step through
+``jax.pure_callback`` — the TPU step stays compiled while the n-gram
+scoring overlaps on CPU.  A C++ fast path (csrc/ngram_rewards.cpp) is used
+when the shared library has been built; the Python path is the reference
+implementation and the test oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..data.vocab import decode_captions
+from ..metrics.bleu import Bleu
+from ..metrics.cider import Cider, CiderD
+
+
+def get_div(eigvals: np.ndarray) -> float:
+    """loss.py:200-210: diversity from the gram-matrix eigenvalues."""
+    eigvals = np.clip(eigvals, 0, None)
+    sqrt_sum = np.sqrt(eigvals).sum()
+    log_n = np.log(len(eigvals))
+    if sqrt_sum == 0:
+        sqrt_sum = 1e-8
+    if log_n == 0:
+        log_n = 1e-8
+    return float(-np.log(np.sqrt(eigvals[-1]) / sqrt_sum) / log_n)
+
+
+class RewardComputer:
+    """Batch reward function: int sequences -> per-sentence float rewards."""
+
+    def __init__(self, word_to_idx: Dict[str, int], *,
+                 cider_reward_weight: float = 1.0,
+                 bleu_reward_weight: float = 1.0,
+                 self_cider_reward_weight: float = 1.0,
+                 cider_df: str = "coco-val",
+                 use_native: bool = True):
+        self.idx_to_word = {i: w for w, i in word_to_idx.items()}
+        self.cider_w = float(cider_reward_weight)
+        self.bleu_w = float(bleu_reward_weight)
+        self.self_cider_w = float(self_cider_reward_weight)
+        # scorers built once at startup, like loss.py:112-116
+        self.ciderD = CiderD(df=cider_df)
+        self.cider = Cider(df=cider_df)
+        self.bleu = Bleu(4, print_=False)
+        self._native = None
+        if use_native:
+            try:
+                from ..utils.native import NgramRewarder
+                self._native = NgramRewarder()
+            except Exception:
+                self._native = None
+
+    def decode(self, seqs: np.ndarray) -> list:
+        return decode_captions(np.asarray(seqs), self.idx_to_word)
+
+    def structure_scores(self, sample_seq: np.ndarray,
+                         target_seq: np.ndarray) -> np.ndarray:
+        """loss.py:157-187: CIDEr-D + BLEU-4 per sentence, one-vs-one."""
+        res_strs = self.decode(sample_seq)
+        gts_strs = self.decode(target_seq)
+
+        if self._native is not None:
+            return self._native.score(res_strs, gts_strs,
+                                      self.cider_w, self.bleu_w,
+                                      log_ref_len=self._log_ref_len())
+
+        n = len(res_strs)
+        res = {i: [res_strs[i]] for i in range(n)}
+        gts = {i: [gts_strs[i]] for i in range(n)}
+
+        if self.cider_w > 0:
+            _, cider_scores = self.ciderD.compute_score(gts, res)
+        else:
+            cider_scores = 0.0
+        if self.bleu_w > 0:
+            try:
+                _, bleu_all = self.bleu.compute_score(gts, res)
+                bleu_scores = np.array(bleu_all[3])
+            except Exception:
+                bleu_scores = 0.0
+        else:
+            bleu_scores = 0.0
+        return (self.cider_w * np.asarray(cider_scores)
+                + self.bleu_w * np.asarray(bleu_scores)).astype(np.float32)
+
+    def _log_ref_len(self) -> float:
+        if self.ciderD.doc_frequency is not None:
+            return float(self.ciderD.log_ref_len)
+        return 0.0  # corpus mode handled in Python path only
+
+    def self_cider_scores(self, sample_seq: np.ndarray) -> np.ndarray:
+        """loss.py:189-216 — per-sentence diversity (0 for single samples)."""
+        res_strs = self.decode(sample_seq)
+        scores = []
+        for s in res_strs:
+            gram = self.cider.my_self_cider([[s]])[0]
+            scores.append(get_div(np.linalg.eigvalsh(gram / 10.0)))
+        return np.asarray(scores, dtype=np.float32)
+
+    def __call__(self, sample_seq: np.ndarray,
+                 target_seq: np.ndarray) -> np.ndarray:
+        """The reward used by the jitted step: structure scores [B]."""
+        return self.structure_scores(sample_seq, target_seq)

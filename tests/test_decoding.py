@@ -1,0 +1,154 @@
+"""Decoding equivalence: the KV-cached scan decode must produce exactly the
+tokens of the reference algorithm (full-prefix re-decode per step,
+model.py:101-200), here re-run with our full-sequence decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_caption_tpu.config import START_IDX
+from image_caption_tpu.models import captioner as C
+from image_caption_tpu.models import decoding as D
+from image_caption_tpu.ops import masks as M
+
+from conftest import make_fake_batch
+
+
+def naive_greedy(params, cfg, feats, pos):
+    """The reference's O(T^2) greedy loop (model.py:101-132), using the
+    full-sequence decoder each step."""
+    enc, _ = C.encoder_apply(params["encoder"], cfg, feats, pos,
+                             deterministic=True)
+    b = enc.shape[0]
+    caption = np.zeros((b, cfg.max_length + 1), np.int32)
+    caption[:, 0] = START_IDX
+    attn_per_step = []
+    for t in range(cfg.max_length - 1):
+        prefix = jnp.asarray(caption[:, :t + 1])
+        ctx_mask = M.key_pad_mask_from_features(pos, t + 1)
+        out, _, cross_attn = C.decoder_apply(
+            params["decoder"], cfg, prefix, enc,
+            context_attention_mask=ctx_mask, deterministic=True,
+            need_weights=True)
+        logits = out[:, t] @ params["classifier"]["kernel"] + \
+            params["classifier"]["bias"]
+        nxt = np.asarray(jnp.argmax(jax.nn.softmax(logits), axis=-1))
+        caption[:, t + 1] = nxt
+        attn_per_step.append(
+            np.asarray(jnp.mean(cross_attn[:, :, t], axis=1)))
+    return caption, np.stack(attn_per_step)
+
+
+def naive_beam(params, cfg, feats, pos, beam_size, score_mode):
+    """The reference beam loop (model.py:135-200) with sorted top-k."""
+    enc, _ = C.encoder_apply(params["encoder"], cfg, feats, pos,
+                             deterministic=True)
+    b = enc.shape[0]
+    k = beam_size
+    caption = np.zeros((k, b, cfg.max_length), np.int64)
+    caption[:, :, 0] = START_IDX
+
+    def decode_prefix(prefix):
+        ctx_mask = M.key_pad_mask_from_features(pos, prefix.shape[1])
+        out, _, _ = C.decoder_apply(params["decoder"], cfg,
+                                    jnp.asarray(prefix), enc,
+                                    context_attention_mask=ctx_mask,
+                                    deterministic=True)
+        t = prefix.shape[1] - 1
+        logits = out[:, t] @ params["classifier"]["kernel"] + \
+            params["classifier"]["bias"]
+        if score_mode == "prob":
+            return np.asarray(jax.nn.softmax(logits, axis=-1))
+        return np.asarray(jax.nn.log_softmax(logits, axis=-1))
+
+    p0 = decode_prefix(caption[0, :, :1])
+    order = np.argsort(-p0, axis=1)[:, :k]             # sorted top-k
+    scores = np.take_along_axis(p0, order, axis=1).T   # [K, B]
+    caption[:, :, 1] = order.T
+
+    v = cfg.num_vocab
+    for t in range(1, cfg.max_length - 1):
+        all_scores = []
+        for bm in range(k):
+            p = decode_prefix(caption[bm, :, :t + 1])
+            all_scores.append(p + scores[bm][:, None])
+        flat = np.concatenate(all_scores, axis=1)      # [B, K*V]
+        order = np.argsort(-flat, axis=1)[:, :k]       # [B, K]
+        scores = np.take_along_axis(flat, order, axis=1).T
+        beam_idx = (order // v).T                      # [K, B]
+        caption = caption[beam_idx, np.arange(b)[None, :]].copy()
+        caption[:, :, t + 1] = (order % v).T
+    return caption[0]
+
+
+@pytest.mark.parametrize("cfg_name", ["tiny", "flagship"])
+def test_cached_greedy_matches_naive(cfg_name, tiny_cfg, flagship_tiny_cfg):
+    cfg = tiny_cfg if cfg_name == "tiny" else flagship_tiny_cfg
+    feats, pos, _ = make_fake_batch(cfg, batch=3, seed=11)
+    params = C.init_captioner(jax.random.PRNGKey(0), cfg.model)
+    want, want_attn = naive_greedy(params, cfg.model,
+                                   jnp.asarray(feats), jnp.asarray(pos))
+    got, got_attn = D.greedy_decode(params, cfg.model, jnp.asarray(feats),
+                                    jnp.asarray(pos),
+                                    return_attention=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    np.testing.assert_allclose(np.asarray(got_attn), want_attn, atol=1e-5)
+
+
+@pytest.mark.parametrize("score_mode", ["prob", "logprob"])
+def test_cached_beam_matches_naive(tiny_cfg, score_mode):
+    cfg = tiny_cfg
+    feats, pos, _ = make_fake_batch(cfg, batch=2, seed=7)
+    params = C.init_captioner(jax.random.PRNGKey(1), cfg.model)
+    want = naive_beam(params, cfg.model, jnp.asarray(feats),
+                      jnp.asarray(pos), beam_size=3, score_mode=score_mode)
+    got = D.beam_search(params, cfg.model, jnp.asarray(feats),
+                        jnp.asarray(pos), beam_size=3,
+                        score_mode=score_mode)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_beam_one_matches_greedy(tiny_cfg):
+    cfg = tiny_cfg
+    feats, pos, _ = make_fake_batch(cfg, batch=2, seed=3)
+    params = C.init_captioner(jax.random.PRNGKey(2), cfg.model)
+    greedy, _ = D.greedy_decode(params, cfg.model, jnp.asarray(feats),
+                                jnp.asarray(pos))
+    beam = D.beam_search(params, cfg.model, jnp.asarray(feats),
+                         jnp.asarray(pos), beam_size=1, score_mode="prob")
+    # beam tokens cover positions 0..max_length-1; greedy 0..max_length
+    np.testing.assert_array_equal(np.asarray(greedy)[:, :cfg.model.max_length],
+                                  np.asarray(beam))
+
+
+def test_xe_loss_runs_and_is_finite(tiny_cfg):
+    cfg = tiny_cfg
+    feats, pos, caps = make_fake_batch(cfg, batch=4, seed=5)
+    params = C.init_captioner(jax.random.PRNGKey(4), cfg.model)
+    loss = C.captioner_xe_loss(params, cfg.model, jnp.asarray(feats),
+                               jnp.asarray(pos), jnp.asarray(caps))
+    val = float(loss["loss"])
+    assert np.isfinite(val)
+    # CE of a ~uniform model is near log(V)
+    assert abs(val - np.log(cfg.model.num_vocab)) < 2.0
+
+
+def test_focal_loss_matches_torch_semantics(tiny_cfg):
+    """loss.py:20-28: focal applied to the scalar mean CE."""
+    import torch
+    import torch.nn.functional as tF
+    cfg = tiny_cfg.with_overrides(**{"model.xe_loss": "focal"})
+    rng = np.random.RandomState(0)
+    logits = rng.randn(6, 10).astype(np.float32)
+    target = np.array([1, 2, 0, 3, 0, 9])
+    ce = tF.cross_entropy(torch.from_numpy(logits),
+                          torch.from_numpy(target), ignore_index=0,
+                          reduction="mean")
+    pt = torch.exp(-ce)
+    want = ((1 - pt) ** 2 * ce).item()
+
+    ours_ce = C.cross_entropy_ignore_pad(jnp.asarray(logits)[None],
+                                         jnp.asarray(target)[None])
+    got = float(C.focal_loss_from_ce(ours_ce, 2.0))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,145 @@
+"""Metric correctness vs hand-computed values (coco-caption conventions)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from image_caption_tpu.metrics.bleu import Bleu
+from image_caption_tpu.metrics.cider import Cider, CiderD
+from image_caption_tpu.metrics.rouge import Rouge, lcs_length
+
+
+# ---------------------------------------------------------------------------
+# BLEU
+# ---------------------------------------------------------------------------
+
+def test_bleu_perfect_match():
+    gts = {0: ["a cat sits on the mat"]}
+    res = {0: ["a cat sits on the mat"]}
+    scores, per_sent = Bleu(4).compute_score(gts, res)
+    for s in scores:
+        assert abs(s - 1.0) < 1e-6
+    assert len(per_sent[0]) == 1
+
+
+def test_bleu_clipping_hand_computed():
+    # hypo 'the the the' vs ref 'the cat':
+    # unigram correct = min(3, 1) = 1, guess = 3 -> p1 = 1/3
+    gts = {0: ["the cat"]}
+    res = {0: ["the the the"]}
+    scores, _ = Bleu(4).compute_score(gts, res)
+    assert abs(scores[0] - 1.0 / 3.0) < 1e-6
+    # bigram correct = 0 -> b2 = sqrt(p1 * tiny/(2+small)) ~ 1.3e-8
+    assert scores[1] < 1e-7
+
+
+def test_bleu_brevity_penalty():
+    # hypo len 2, ref len 4: ratio = 0.5 -> bp = exp(1 - 2) = e^-1
+    gts = {0: ["a b c d"]}
+    res = {0: ["a b"]}
+    scores, _ = Bleu(4).compute_score(gts, res)
+    want = 1.0 * math.exp(1 - 1 / 0.5)
+    assert abs(scores[0] - want) < 1e-6
+
+
+def test_bleu_closest_reflen_tie_prefers_shorter():
+    # testlen 3; refs of len 2 and 4 are equidistant -> reflen 2 -> no BP
+    gts = {0: ["a b", "a b c d"]}
+    res = {0: ["a b c"]}
+    scores, _ = Bleu(1).compute_score(gts, res)
+    assert abs(scores[0] - 1.0) < 1e-6  # all unigrams match 'a b c d'? no:
+    # 'a','b' match ref1/ref2; 'c' matches ref2; correct=3/3, ratio=3/2>=1
+
+
+def test_bleu_corpus_aggregates_counts():
+    # corpus BLEU pools counts, it is not the mean of sentence BLEUs
+    gts = {0: ["a b"], 1: ["c d"]}
+    res = {0: ["a b"], 1: ["x y"]}
+    scores, per = Bleu(1).compute_score(gts, res)
+    assert abs(scores[0] - 0.5) < 1e-6          # (2+0)/(2+2)
+    assert abs(per[0][0] - 1.0) < 1e-6
+    assert per[0][1] < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L
+# ---------------------------------------------------------------------------
+
+def test_lcs():
+    assert lcs_length("a b c d".split(), "a x c".split()) == 2
+    assert lcs_length([], ["a"]) == 0
+    assert lcs_length(["a"], ["a"]) == 1
+
+
+def test_rouge_hand_computed():
+    # max-precision and max-recall taken over refs SEPARATELY
+    gts = {0: ["the cat", "a dog sat"]}
+    res = {0: ["the cat sat"]}
+    score, per = Rouge().compute_score(gts, res)
+    p = 2.0 / 3.0          # best precision (vs 'the cat')
+    r = 1.0                # best recall   (vs 'the cat')
+    beta = 1.2
+    want = ((1 + beta ** 2) * p * r) / (r + beta ** 2 * p)
+    assert abs(score - want) < 1e-9
+    assert abs(per[0] - want) < 1e-9
+
+
+def test_rouge_perfect():
+    score, _ = Rouge().compute_score({0: ["a b c"]}, {0: ["a b c"]})
+    assert abs(score - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# CIDEr / CIDEr-D
+# ---------------------------------------------------------------------------
+
+def test_cider_perfect_match_scores_ten():
+    gts = {0: ["a b c d e"], 1: ["p q r s t"]}
+    res = {0: ["a b c d e"], 1: ["p q r s t"]}
+    score, per = Cider().compute_score(gts, res)
+    np.testing.assert_allclose(per, [10.0, 10.0], atol=1e-9)
+    score_d, per_d = CiderD().compute_score(gts, res)
+    np.testing.assert_allclose(per_d, [10.0, 10.0], atol=1e-9)
+
+
+def test_cider_mismatch_scores_zero():
+    gts = {0: ["a b c d e"], 1: ["p q r s t"]}
+    res = {0: ["a b c d e"], 1: ["x y z w v"]}
+    _, per = Cider().compute_score(gts, res)
+    assert abs(per[0] - 10.0) < 1e-9
+    assert abs(per[1]) < 1e-9
+
+
+def test_ciderd_length_penalty():
+    # same unigrams, different length: CIDEr-D applies exp(-d^2/72)
+    gts = {0: ["a b c d e f"], 1: ["p q r s t u"]}
+    res = {0: ["a b c d"], 1: ["p q r s t u"]}
+    _, per_d = CiderD().compute_score(gts, res)
+    _, per = Cider().compute_score(gts, res)
+    assert per_d[0] < per[0]  # penalized
+    assert abs(per_d[1] - 10.0) < 1e-9
+
+
+def test_ciderd_clipping():
+    # repeated hyp unigrams are clipped at ref count in the numerator
+    gts = {0: ["a b"], 1: ["x y"]}
+    res = {0: ["a a a b"], 1: ["x y"]}
+    _, per_clip = CiderD().compute_score(gts, res)
+    _, per_raw = Cider().compute_score(gts, res)
+    assert per_clip[0] < per_raw[0]
+
+
+def test_my_self_cider_single_caption_gram():
+    c = Cider()
+    grams = c.my_self_cider([["a b c"]])
+    assert len(grams) == 1
+    assert grams[0].shape == (1, 1)
+
+
+def test_self_cider_diversity_score_zero_for_single():
+    """The reference's get_div on a 1x1 gram is identically 0
+    (loss.py:200-212) — the shipped self-CIDEr reward is a no-op."""
+    from image_caption_tpu.rl.rewards import get_div
+    gram = np.array([[4.0]])
+    assert get_div(np.linalg.eigvalsh(gram / 10)) == 0.0

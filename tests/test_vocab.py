@@ -1,0 +1,78 @@
+"""Vocab / caption-vector / detokenizer semantics
+(core/preprocess.py:283-345, core/utils.py:67-103)."""
+
+import numpy as np
+
+from image_caption_tpu.data.tokenizer import (clean_caption, ptb_tokenize,
+                                              tokenize_caption)
+from image_caption_tpu.data.vocab import (build_caption_vector, build_vocab,
+                                          decode_captions, invert_vocab)
+
+
+def test_clean_caption():
+    assert clean_caption("A man, riding (fast) & well-done.") == \
+        "A man riding fast and well done"
+    assert clean_caption('She said "don\'t"') == "She said dont"
+
+
+def test_ptb_tokenize():
+    assert ptb_tokenize("a man rides a horse") == \
+        ["a", "man", "rides", "a", "horse"]
+    assert ptb_tokenize("what ? yes !") == ["what", "?", "yes", "!"]
+    assert ptb_tokenize("  spaced   out  ") == ["spaced", "out"]
+
+
+def test_tokenize_caption_full_path():
+    assert tokenize_caption("A Man, riding-fast.") == \
+        ["a", "man", "riding", "fast"]
+
+
+def test_build_vocab_special_tokens_and_threshold():
+    caps = ["a man rides", "a man walks", "unique word"]
+    vocab = build_vocab(caps, threshold=2)
+    assert vocab["<NULL>"] == 0
+    assert vocab["<START>"] == 1
+    assert vocab["<END>"] == 2
+    assert vocab["<UNK>"] == 3
+    assert "a" in vocab and "man" in vocab
+    assert "unique" not in vocab  # below threshold
+    # insertion order from index 4
+    assert vocab["a"] == 4
+    assert vocab["man"] == 5
+
+
+def test_build_caption_vector_shape_and_padding():
+    vocab = build_vocab(["a man rides"], threshold=1)
+    vecs = build_caption_vector(["a man rides", "a man"], vocab,
+                                max_length=5)
+    assert vecs.shape == (2, 7)
+    assert vecs.dtype == np.int32
+    # <START> a man rides <END> <NULL> <NULL>
+    np.testing.assert_array_equal(vecs[0], [1, 4, 5, 6, 2, 0, 0])
+    np.testing.assert_array_equal(vecs[1], [1, 4, 5, 2, 0, 0, 0])
+
+
+def test_build_caption_vector_unk():
+    vocab = build_vocab(["a man"], threshold=1)
+    vecs = build_caption_vector(["a stranger"], vocab, max_length=4)
+    assert vecs[0, 2] == 3  # <UNK>
+
+
+def test_decode_captions_round_trip():
+    vocab = build_vocab(["a man rides"], threshold=1)
+    inv = invert_vocab(vocab)
+    vecs = build_caption_vector(["a man rides"], vocab, max_length=5)
+    decoded = decode_captions(vecs, inv)
+    # <END> becomes ' .' (core/utils.py:89-91)
+    assert decoded == ["a man rides ."]
+
+
+def test_decode_captions_rules():
+    inv = {0: "<NULL>", 1: "<START>", 2: "<END>", 3: "<UNK>", 4: "dog"}
+    # <START> skipped only at t=0; <NULL> skipped anywhere; stop at <END>
+    assert decode_captions(np.array([[1, 4, 0, 4, 2, 4]]), inv) == \
+        ["dog dog ."]
+    # 1D input supported (core/utils.py:68-70)
+    assert decode_captions(np.array([1, 4, 2]), inv) == ["dog ."]
+    # no <END>: no trailing period
+    assert decode_captions(np.array([[1, 4, 4]]), inv) == ["dog dog"]
