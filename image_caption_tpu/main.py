@@ -1,0 +1,207 @@
+"""CLI: ``python -m image_caption_tpu.main {train,evaluation,demo,features}``.
+
+The reference dispatches the same three verbs through google-fire with a
+module-level model built at import (``/root/reference/main.py:19-22,250-251``)
+and experiments selected by editing ``core/config.py``.  Here the preset and
+every config field are CLI flags; nothing is constructed at import time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Optional
+
+from .config import Config, get_preset, list_presets
+
+
+def _parse_overrides(pairs: List[str]) -> dict:
+    out = {}
+    for pair in pairs:
+        key, _, value = pair.partition("=")
+        if not _:
+            raise SystemExit(f"bad override {pair!r}; expected key=value")
+        for cast in (int, float):
+            try:
+                value = cast(value)
+                break
+            except ValueError:
+                continue
+        else:
+            if value in ("true", "True"):
+                value = True
+            elif value in ("false", "False"):
+                value = False
+        out[key] = value
+    return out
+
+
+def _load_config(args) -> Config:
+    cfg = get_preset(args.preset)
+    over = _parse_overrides(args.set or [])
+    if args.data_path:
+        over["data.data_path"] = args.data_path
+    if args.output_path:
+        over["data.output_path"] = args.output_path
+    return cfg.with_overrides(**over)
+
+
+def cmd_train(args) -> None:
+    from .train.loop import train
+    cfg = _load_config(args)
+    train(cfg, num_epochs=args.epochs, resume=not args.no_resume)
+
+
+def cmd_evaluation(args) -> None:
+    """main.py:156-190 equivalent: load ckpt, decode split, score."""
+    import jax
+    from .data.dataset import load_split
+    from .data.vocab import invert_vocab
+    from .metrics.evaluate import score_captions
+    from .train.checkpoint import CheckpointManager
+    from .train.logging import write_scores
+    from .train.loop import decode_split
+    from .train.state import create_train_state
+    from .utils.io import load_pickle, save_pickle
+
+    cfg = _load_config(args)
+    d = cfg.data
+    split = load_split(d.data_path, args.split, load_references=True)
+    wpath = d.word_to_idx_path
+    word_to_idx = split.word_to_idx or load_pickle(wpath)
+    idx_to_word = invert_vocab(word_to_idx)
+
+    template = create_train_state(cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(d.output_path, "model"))
+    epoch = args.epoch if args.epoch is not None else ckpt.latest_epoch()
+    assert epoch is not None, "no checkpoint found"
+    state = ckpt.restore(epoch, template)
+
+    candidates = decode_split(state.params, cfg, split,
+                              cfg.train.batch_size, idx_to_word,
+                              beam_size=args.beam_size)
+    save_pickle(candidates, os.path.join(
+        d.output_path, "candidates",
+        f"{args.split}.candidate.captions.pkl"))
+
+    if split.references is not None:
+        hypo = {i: [c] for i, c in enumerate(candidates)}
+        scores = score_captions(split.references, hypo)
+        write_scores(d.output_path, args.split, epoch, scores)
+        for name, value in scores.items():
+            print(f"{name}:\t{value}")
+
+
+def cmd_demo(args) -> None:
+    """main.py:193-247 equivalent: single image -> caption (+ attention
+    overlays with --save-img)."""
+    import jax
+    import numpy as np
+    from .data.vocab import decode_captions, invert_vocab
+    from .models.decoding import beam_search, greedy_decode
+    from .train.checkpoint import CheckpointManager
+    from .train.state import create_train_state
+    from .utils.io import load_pickle
+    from .vision.pipeline import extract_single_image
+
+    cfg = _load_config(args)
+    d = cfg.data
+    t0 = time.time()
+
+    feats, poss, boxes = extract_single_image(
+        args.image_path, image_model=d.image_model,
+        num_objects=cfg.model.num_objects, max_obj=args.max_obj,
+        weights_dir=args.weights_dir)
+
+    word_to_idx = load_pickle(d.word_to_idx_path)
+    idx_to_word = invert_vocab(word_to_idx)
+
+    template = create_train_state(cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(d.output_path, "model"))
+    epoch = args.epoch if args.epoch is not None else ckpt.latest_epoch()
+    assert epoch is not None, "no checkpoint found"
+    state = ckpt.restore(epoch, template)
+
+    feats_b = feats[None].astype(np.float32)
+    poss_b = poss[None].astype(np.float32)
+    if args.beam_size and args.beam_size > 1:
+        tokens = beam_search(state.params, cfg.model, feats_b, poss_b,
+                             beam_size=args.beam_size, score_mode="prob")
+        attention = None
+    else:
+        tokens, attention = greedy_decode(state.params, cfg.model,
+                                          feats_b, poss_b,
+                                          return_attention=True)
+    caption = decode_captions(np.asarray(tokens), idx_to_word)[0]
+
+    if args.save_img and attention is not None:
+        from .vision.overlay import save_attention_overlays
+        out_dir = os.path.join(
+            "./demo", os.path.splitext(os.path.basename(args.image_path))[0],
+            d.image_model)
+        save_attention_overlays(args.image_path, np.asarray(attention)[:, 0],
+                                boxes, caption, out_dir)
+
+    print(caption)
+    print(f"time: {time.time() - t0:.2f}s")
+
+
+def cmd_features(args) -> None:
+    """features.py equivalent: offline COCO ETL -> reference-format shards."""
+    from .vision.etl import run_etl
+    cfg = _load_config(args)
+    run_etl(cfg, coco_root=args.coco_root, splits=args.splits,
+            batch_size=args.batch_size, weights_dir=args.weights_dir)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="image_caption_tpu")
+    p.add_argument("--preset",
+                   default="RL_maxlen49_36obj_1wordCount_256_25b_32h_"
+                           "split_img_obj",
+                   help=f"one of: {', '.join(list_presets())}")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="config override, e.g. --set train.batch_size=64")
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--output-path", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--no-resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluation")
+    e.add_argument("--split", default="test")
+    e.add_argument("--epoch", type=int, default=None)
+    e.add_argument("--beam-size", type=int, default=None)
+    e.set_defaults(fn=cmd_evaluation)
+
+    dm = sub.add_parser("demo")
+    dm.add_argument("--image-path", required=True)
+    dm.add_argument("--epoch", type=int, default=None)
+    dm.add_argument("--beam-size", type=int, default=None)
+    dm.add_argument("--save-img", action="store_true")
+    dm.add_argument("--max-obj", type=int, default=None)
+    dm.add_argument("--weights-dir", default="./weights")
+    dm.set_defaults(fn=cmd_demo)
+
+    f = sub.add_parser("features")
+    f.add_argument("--coco-root", required=True)
+    f.add_argument("--splits", nargs="+",
+                   default=["train", "valid", "test"])
+    f.add_argument("--batch-size", type=int, default=64)
+    f.add_argument("--weights-dir", default="./weights")
+    f.set_defaults(fn=cmd_features)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, START_IDX
 from ..ops import masks as M
+from ..ops.attention import masked_softmax
 from . import layers as L
 from .captioner import (_decoder_pos_table, _move_first_image_feature,
                         encoder_apply)
@@ -77,7 +78,7 @@ def _attend(q, k, v, neg_mask, temperature):
     scores = jnp.einsum("bhqd,bhkd->bhqk", q / temperature, k,
                         preferred_element_type=jnp.float32)
     scores = jnp.where(neg_mask[:, None, :, :], -jnp.inf, scores)
-    attn = jax.nn.softmax(scores, axis=-1)
+    attn = masked_softmax(scores)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return out, attn

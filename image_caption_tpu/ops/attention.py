@@ -36,13 +36,28 @@ def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def masked_softmax(scores: jnp.ndarray) -> jnp.ndarray:
+    """Stable softmax tolerant of fully-masked (-inf) rows.
+
+    ``jax.nn.softmax`` produces NaN (and NaN gradients) when an entire row
+    is -inf; fully-masked rows arise from zero-padded batch items and
+    pad-token queries.  Such rows come out as all-zero attention."""
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    unnorm = jnp.exp(scores - m)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    return unnorm / jnp.maximum(denom, 1e-30)
+
+
 def _attention_xla(q, k, v, mask, temperature, *,
                    dropout_rate=0.0, rng=None, deterministic=True):
     scores = jnp.einsum("bhqd,bhkd->bhqk", q / temperature, k,
                         preferred_element_type=jnp.float32)
     if mask is not None:
         scores = jnp.where(mask[:, None, :, :], _NEG_INF, scores)
-    attn = jax.nn.softmax(scores, axis=-1)
+        attn = masked_softmax(scores)
+    else:
+        attn = jax.nn.softmax(scores, axis=-1)
     attn_dropped = dropout(attn, dropout_rate, rng, deterministic)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn_dropped, v,
                      preferred_element_type=jnp.float32)

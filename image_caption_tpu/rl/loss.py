@@ -1,0 +1,158 @@
+"""Self-critical (SCST-style) composite loss, jit-compatible.
+
+Reproduces ``ReinforcementLearningLoss`` + ``StructureCriterion``
+(``/root/reference/core/TRANSFORMER/loss.py:31-155``) as a pure function of
+logits, with the string n-gram rewards crossing to the host through
+``jax.pure_callback`` — the TPU step stays one compiled program; only the
+reward lookup runs on CPU (the reference instead moves *all* loss tensors to
+CPU every step, core/models.py:188-191).
+
+Exact reference semantics preserved:
+  * sample = argmax of log_softmax over teacher-forced logits
+    (model_RL.py:93-97) — behind ``sample_mode='argmax'``;
+    ``'categorical'`` gives true SCST sampling;
+  * mask = (sequence > 0) shifted right one step with a leading 1 column
+    (loss.py:124-125);
+  * entropy bonus computed from softmax/log_softmax OF THE LOG-PROBS (a
+    reference quirk — loss.py:132 applies them to the already-log-softmaxed
+    output) and detached (`.data`);
+  * baseline ``(scores.sum(1,keepdim)-scores)/shape[1]`` is identically 0
+    for the actual [B, 1] scores (loss.py:140-141) — kept as written;
+  * self-CIDEr diversity added per sentence (loss.py:144-148);
+  * structure loss = -sum(logprob[sampled] * mask * scores) / sum(mask)
+    (loss.py:150-151);
+  * total = (1-w) * XE + w * structure, plus the WRITE_LOG keys
+    (loss.py:70-74).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.captioner import captioner_logits, cross_entropy_ignore_pad
+
+
+def make_reward_callback(reward_computer) -> Callable:
+    """Wrap a host RewardComputer for use inside jit.
+
+    Returns ``fn(sample_seq [B,T] i32, target_seq [B,T] i32) ->
+    (structure [B] f32, self_cider [B] f32)``.
+    """
+    def host_fn(sample_seq, target_seq):
+        sample_seq = np.asarray(sample_seq)
+        target_seq = np.asarray(target_seq)
+        structure = reward_computer.structure_scores(sample_seq, target_seq)
+        self_cider = reward_computer.self_cider_scores(sample_seq)
+        return (np.asarray(structure, np.float32),
+                np.asarray(self_cider, np.float32))
+
+    def callback(sample_seq, target_seq):
+        b = sample_seq.shape[0]
+        out_shape = (jax.ShapeDtypeStruct((b,), jnp.float32),
+                     jax.ShapeDtypeStruct((b,), jnp.float32))
+        return jax.pure_callback(host_fn, out_shape, sample_seq, target_seq,
+                                 vmap_method="sequential")
+    return callback
+
+
+def sample_from_logits(logits: jnp.ndarray, rng: Optional[jax.Array],
+                       mode: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sequence, logprobs) from teacher-forced logits.
+
+    'argmax' reproduces model_RL.py:93-97; 'categorical' is true sampling.
+    """
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    if mode == "argmax":
+        seq = jnp.argmax(logprobs, axis=-1)
+    elif mode == "categorical":
+        assert rng is not None
+        seq = jax.random.categorical(rng, logits, axis=-1)
+    else:
+        raise ValueError(mode)
+    return seq.astype(jnp.int32), logprobs
+
+
+def structure_loss(logprobs: jnp.ndarray, sample_seq: jnp.ndarray,
+                   rewards: jnp.ndarray, self_cider: jnp.ndarray, *,
+                   entropy_weight: float,
+                   self_cider_weight: float) -> Dict[str, jnp.ndarray]:
+    """loss.py:121-155 on-device.  logprobs [B,T,V], sample_seq [B,T],
+    rewards/self_cider [B]."""
+    mask = (sample_seq > 0).astype(logprobs.dtype)               # [B, T]
+    ones = jnp.ones_like(mask[:, :1])
+    mask = jnp.concatenate([ones, mask[:, :-1]], axis=1)         # shifted
+
+    scores = rewards[:, None]                                    # [B, 1]
+    reward_out = scores
+
+    if entropy_weight > 0:
+        # reference quirk: softmax/log_softmax applied to LOG-PROBS
+        # (loss.py:132); detached (.data)
+        p = jax.nn.softmax(logprobs, axis=2)
+        logp = jax.nn.log_softmax(logprobs, axis=2)
+        entropy = -jnp.sum(p * logp, axis=2)
+        entropy = jax.lax.stop_gradient(entropy)
+        entropy = jnp.sum(entropy * mask, axis=1) / jnp.sum(mask, axis=1)
+        scores = scores + entropy_weight * entropy[:, None]
+
+    gathered = jnp.take_along_axis(logprobs, sample_seq[..., None],
+                                   axis=2)[..., 0]               # [B, T]
+
+    # baseline (loss.py:140-141): identically zero for [B,1] scores —
+    # kept for shape-parity with multi-sample extensions
+    baseline = (jnp.sum(scores, axis=1, keepdims=True) - scores) \
+        / scores.shape[1]
+    scores = scores - baseline
+
+    if self_cider_weight > 0:
+        scores = scores + self_cider_weight * self_cider[:, None]
+
+    loss = -gathered * mask * scores
+    loss = jnp.sum(loss) / jnp.sum(mask)
+    return {"loss": loss, "reward": jnp.mean(reward_out)}
+
+
+def rl_composite_loss(params, cfg: Config, batch, reward_callback, *,
+                      rng: Optional[jax.Array] = None,
+                      deterministic: bool = True
+                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full RL loss (loss.py:52-76).  Returns (loss, WRITE_LOG metrics)."""
+    features, positions, captions = batch
+    drop_rng = sample_rng = None
+    if rng is not None:
+        drop_rng, sample_rng = jax.random.split(rng)
+
+    logits = captioner_logits(params, cfg.model, features, positions,
+                              captions, rng=drop_rng,
+                              deterministic=deterministic)
+    target = captions[:, 1:].astype(jnp.int32)
+
+    w = cfg.rl.structure_loss_weight
+    if w < 1:
+        lm_loss = cross_entropy_ignore_pad(logits, target, cfg.model.pad_idx)
+    else:
+        lm_loss = jnp.zeros((), logits.dtype)
+
+    if w > 0:
+        sample_seq, logprobs = sample_from_logits(logits, sample_rng,
+                                                  cfg.rl.sample_mode)
+        rewards, self_cider = reward_callback(sample_seq, target)
+        rewards = jax.lax.stop_gradient(rewards)
+        self_cider = jax.lax.stop_gradient(self_cider)
+        st = structure_loss(
+            logprobs, sample_seq, rewards, self_cider,
+            entropy_weight=cfg.rl.entropy_reward_weight,
+            self_cider_weight=cfg.rl.self_cider_reward_weight)
+        st_loss, reward = st["loss"], st["reward"]
+    else:
+        st_loss = jnp.zeros((), logits.dtype)
+        reward = jnp.zeros((), logits.dtype)
+
+    loss = (1.0 - w) * lm_loss + w * st_loss
+    return loss, {"loss": loss, "language_model_loss": lm_loss,
+                  "structure_loss": st_loss, "reward": reward}

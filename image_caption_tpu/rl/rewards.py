@@ -26,15 +26,23 @@ from ..metrics.cider import Cider, CiderD
 
 
 def get_div(eigvals: np.ndarray) -> float:
-    """loss.py:200-210: diversity from the gram-matrix eigenvalues."""
+    """loss.py:200-210: diversity from the gram-matrix eigenvalues.
+
+    Numerator additionally clamped: a fully-degenerate gram (all-zero
+    tf-idf, possible only in df-fallback corpus mode where idf == 0)
+    would make the reference produce inf; we return 0 instead so the
+    training loss stays finite."""
     eigvals = np.clip(eigvals, 0, None)
+    sqrt_top = np.sqrt(eigvals[-1])
     sqrt_sum = np.sqrt(eigvals).sum()
+    if sqrt_top == 0:
+        return 0.0
     log_n = np.log(len(eigvals))
     if sqrt_sum == 0:
         sqrt_sum = 1e-8
     if log_n == 0:
         log_n = 1e-8
-    return float(-np.log(np.sqrt(eigvals[-1]) / sqrt_sum) / log_n)
+    return float(-np.log(sqrt_top / sqrt_sum) / log_n)
 
 
 class RewardComputer:

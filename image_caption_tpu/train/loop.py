@@ -1,0 +1,245 @@
+"""The training orchestrator — ``main.py train`` equivalent, mesh-native.
+
+Reproduces the observable behavior of the reference loop
+(``/root/reference/main.py:25-153``): per-100-iter loss logging on fixed
+train/valid batches, per-2500-iter sample caption vs ground truths,
+per-epoch valid decode + coco metrics + scores file + TensorBoard +
+checkpoint — with the compute re-architected for TPU:
+
+  * one jitted, donated train step (XE or RL) sharded over the mesh;
+  * decode via the KV-cached ``lax.scan`` greedy path (no O(T^2) re-decode);
+  * per-epoch valid eval decodes each image once (the reference re-decodes
+    each image once per caption, main.py:108-132);
+  * orbax checkpoints with optimizer state + resume-from-latest.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import CaptionBatches, CocoSplit, ImageBatches, load_split
+from ..data.vocab import decode_captions, invert_vocab
+from ..metrics.evaluate import score_captions
+from ..models.decoding import greedy_decode
+from ..parallel import mesh as pmesh
+from ..utils.io import save_pickle
+from .checkpoint import CheckpointManager
+from .logging import TensorBoardWriter, format_sample, write_scores
+from .state import TrainState, create_train_state
+from .step import compile_eval_step, compile_train_step
+
+
+def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
+                 idx_to_word: Dict[int, str], *, beam_size: Optional[int] = None,
+                 use_pallas: bool = True) -> List[str]:
+    """Greedy/beam decode every image in a split -> list of caption strings
+    indexed by image row (the ``{split}.candidate.captions.pkl`` contract,
+    main.py:172-184)."""
+    from ..models.decoding import beam_search
+    out: List[Optional[str]] = [None] * split.num_images
+    for feats, poss, idxs, real in ImageBatches(split, batch_size):
+        if beam_size is None or beam_size <= 1:
+            tokens, _ = greedy_decode(params, cfg.model, feats, poss,
+                                      use_pallas=use_pallas)
+        else:
+            tokens = beam_search(params, cfg.model, feats, poss,
+                                 beam_size=beam_size,
+                                 score_mode="prob", use_pallas=use_pallas)
+        strs = decode_captions(np.asarray(tokens)[:real], idx_to_word)
+        for i, s in zip(idxs[:real], strs):
+            out[int(i)] = s
+    return [s if s is not None else "" for s in out]
+
+
+class Trainer:
+    """XE/focal trainer (``TRANSFORMER`` wrapper equivalent,
+    core/models.py:81-135) over a device mesh."""
+
+    def __init__(self, cfg: Config, *, mesh=None, rng: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.mesh = mesh or pmesh.make_mesh(
+            data=cfg.train.data_axis, model=cfg.train.model_axis)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+        self.init_rng, self.step_rng = jax.random.split(rng)
+        self.state = create_train_state(cfg, self.init_rng)
+        self._train_step = compile_train_step(cfg, self.mesh, self.state)
+        self._eval_step = compile_eval_step(cfg, self.mesh, self.state)
+
+    # -- single-step API (MODEL.train_step / compute_loss parity) ---------
+    def train_step(self, features, positions, captions):
+        batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
+        self.state, metrics = self._train_step(self.state, batch,
+                                               self.step_rng)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def compute_loss(self, features, positions, captions):
+        batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
+        return {k: float(v) for k, v in
+                self._eval_step(self.state.params, batch).items()}
+
+    @property
+    def metric_keys(self):
+        return ["loss"]          # WRITE_LOG for XE (core/config.py:65-66)
+
+
+class RLTrainer(Trainer):
+    """Self-critical trainer (``SelfCriticNetwork`` equivalent,
+    core/models.py:138-211)."""
+
+    def __init__(self, cfg: Config, word_to_idx: Dict[str, int], *,
+                 mesh=None, rng: Optional[jax.Array] = None):
+        from ..rl.loss import make_reward_callback
+        from ..rl.rewards import RewardComputer
+        from ..rl.step import compile_rl_eval_step, compile_rl_train_step
+
+        self.cfg = cfg
+        self.mesh = mesh or pmesh.make_mesh(
+            data=cfg.train.data_axis, model=cfg.train.model_axis)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+        self.init_rng, self.step_rng = jax.random.split(rng)
+        self.state = create_train_state(cfg, self.init_rng)
+
+        self.reward_computer = RewardComputer(
+            word_to_idx,
+            cider_reward_weight=cfg.rl.cider_reward_weight,
+            bleu_reward_weight=cfg.rl.bleu_reward_weight,
+            self_cider_reward_weight=cfg.rl.self_cider_reward_weight)
+        callback = make_reward_callback(self.reward_computer)
+        self._train_step = compile_rl_train_step(cfg, self.mesh, self.state,
+                                                 callback)
+        self._eval_step = compile_rl_eval_step(cfg, self.mesh, self.state,
+                                               callback)
+
+    @property
+    def metric_keys(self):
+        # WRITE_LOG for RL (core/config.py:67-68)
+        return ["loss", "language_model_loss", "structure_loss", "reward"]
+
+
+def make_trainer(cfg: Config, word_to_idx: Optional[Dict[str, int]] = None,
+                 **kw) -> Trainer:
+    """CAPTION_MODEL dispatch (main.py:19-22)."""
+    if cfg.caption_model == "RL_Transformer":
+        assert word_to_idx is not None, "RL trainer needs the vocab"
+        return RLTrainer(cfg, word_to_idx, **kw)
+    return Trainer(cfg, **kw)
+
+
+def train(cfg: Config, *, num_epochs: Optional[int] = None,
+          resume: bool = True, verbose: bool = True) -> TrainState:
+    """Full training run (main.py:25-153 behavior)."""
+    t = cfg.train
+    d = cfg.data
+    num_epochs = num_epochs or t.num_epochs
+
+    train_split = load_split(d.data_path, "train", verbose=verbose)
+    valid_split = load_split(d.data_path, "valid", verbose=verbose,
+                             load_references=True)
+    word_to_idx = train_split.word_to_idx
+    assert word_to_idx is not None, "train split must carry word_index.pkl"
+    idx_to_word = invert_vocab(word_to_idx)
+
+    trainer = make_trainer(cfg, word_to_idx)
+    writer = TensorBoardWriter(os.path.join(d.output_path, "log"))
+    ckpt = CheckpointManager(os.path.join(d.output_path, "model"),
+                             keep=t.keep_checkpoints)
+
+    start_epoch = 1
+    if resume and ckpt.latest_epoch() is not None:
+        last = ckpt.latest_epoch()
+        trainer.state = ckpt.restore(last, trainer.state)
+        start_epoch = last + 1
+        if verbose:
+            print(f"[train] resumed from epoch {last}")
+
+    train_batches = CaptionBatches(train_split, t.batch_size, seed=t.seed)
+    valid_batches = CaptionBatches(valid_split, t.batch_size, shuffle=False)
+
+    # fixed logging batches (main.py:45-55)
+    fixed_train = next(train_batches.epoch(0))[:3]
+    fixed_valid = next(iter(valid_batches))[:3]
+
+    global_it = 0
+    for epoch in range(start_epoch, num_epochs + 1):
+        t0 = time.time()
+        for feats, poss, caps, _ in train_batches.epoch(epoch):
+            trainer.train_step(feats, poss, caps)
+            global_it += 1
+
+            if global_it % t.log_every == 0:
+                m_train = trainer.compute_loss(*fixed_train)
+                m_valid = trainer.compute_loss(*fixed_valid)
+                for key in trainer.metric_keys:
+                    writer.write_batch(key, m_train[key], m_valid[key],
+                                       global_it)
+                if verbose:
+                    print(f"[it {global_it}] "
+                          + " ".join(f"{k}={m_train[k]:.4f}"
+                                     for k in trainer.metric_keys))
+
+            if global_it % t.sample_every == 0:
+                tokens, _ = greedy_decode(
+                    trainer.state.params, cfg.model,
+                    fixed_train[0][:1], fixed_train[1][:1])
+                cap = decode_captions(np.asarray(tokens), idx_to_word)[0]
+                gts = decode_captions(fixed_train[2][:1], idx_to_word)
+                writer.write_text("sample", format_sample(cap, gts),
+                                  global_it)
+                if verbose:
+                    print(f"[sample it {global_it}] {cap}")
+
+        # ---- per-epoch evaluation (main.py:104-149) ----
+        train_loss = _epoch_loss(trainer, train_batches,
+                                 limit=len(valid_batches))
+        valid_loss = _epoch_loss(trainer, valid_batches)
+        for key in trainer.metric_keys:
+            writer.write_epoch(key, train_loss[key], valid_loss[key], epoch)
+
+        candidates = decode_split(trainer.state.params, cfg, valid_split,
+                                  t.batch_size, idx_to_word)
+        cand_dir = os.path.join(d.output_path, "candidates")
+        save_pickle(candidates, os.path.join(
+            cand_dir, "valid.candidate.captions.pkl"))
+
+        if valid_split.references is not None:
+            hypo = {i: [c] for i, c in enumerate(candidates)}
+            scores = score_captions(valid_split.references, hypo,
+                                    verbose=verbose)
+            write_scores(d.output_path, "valid", epoch, scores)
+            for name, value in scores.items():
+                writer.write_scalar(f"metrics/valid_{name}", value, epoch)
+
+        if epoch % t.checkpoint_every_epochs == 0:
+            ckpt.save(epoch, jax.device_get(trainer.state))
+        if verbose:
+            print(f"[epoch {epoch}] train_loss={train_loss['loss']:.4f} "
+                  f"valid_loss={valid_loss['loss']:.4f} "
+                  f"({time.time() - t0:.1f}s)")
+        writer.flush()
+
+    ckpt.close()
+    writer.close()
+    return trainer.state
+
+
+def _epoch_loss(trainer: Trainer, batches: CaptionBatches,
+                limit: Optional[int] = None) -> Dict[str, float]:
+    """Mean metrics over (up to ``limit``) batches.  The reference zips
+    train/valid loaders, truncating to the shorter (main.py:108-110); we
+    reproduce the same sample counts explicitly via ``limit``."""
+    sums: Dict[str, float] = {}
+    n = 0
+    for i, (feats, poss, caps, _) in enumerate(batches):
+        if limit is not None and i >= limit:
+            break
+        m = trainer.compute_loss(feats, poss, caps)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + v
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}
