@@ -1,0 +1,256 @@
+"""Offline dataset build — the ``features.py`` driver, TPU-batched.
+
+Reproduces the reference ETL outputs exactly (caption pickles, vocab,
+references, ``.hkl`` feature shards — ``/root/reference/features.py:16-119``)
+while replacing the compute path: the reference reloads YOLOv5x and
+ResNet-101 *per image* and runs crops one at a time
+(``core/preprocess.py:95``, ``detect_for_preprocess.py:47``); here weights
+load once, a host thread pool decodes + letterboxes images, and the whole
+detect -> crop -> encode pipeline runs as one jitted program per batch.
+
+Caption processing (``process_caption_data``, core/preprocess.py:224-281):
+COCO captions JSON -> (caption, image_id, file_name) records sorted by
+image_id, cleaned, tokenized, and dropped if longer than ``max_length``.
+val2017 is split 50/50 into valid/test (features.py:40-47).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..data.tokenizer import clean_caption, tokenize_caption
+from ..data.vocab import build_caption_vector, build_vocab
+from ..utils.io import save_hkl, save_pickle
+from .ops import letterbox_params
+
+
+# ---------------------------------------------------------------------------
+# Caption ETL (host-only)
+# ---------------------------------------------------------------------------
+
+def process_caption_data(caption_file: str, image_dir: str,
+                         max_length: int = 49) -> List[Dict]:
+    """COCO captions JSON -> records [{caption, image_id, file_name}],
+    sorted by image_id, length-filtered (core/preprocess.py:224-281)."""
+    with open(caption_file) as f:
+        coco = json.load(f)
+    id_to_file = {img["id"]: os.path.join(image_dir, img["file_name"])
+                  for img in coco["images"]}
+    records = []
+    for ann in coco["annotations"]:
+        caption = clean_caption(ann["caption"].replace("\n", " ")).lower()
+        tokens = tokenize_caption(ann["caption"])
+        if len(tokens) > max_length:
+            continue
+        records.append({"caption": caption,
+                        "image_id": ann["image_id"],
+                        "file_name": id_to_file[ann["image_id"]]})
+    records.sort(key=lambda r: r["image_id"])
+    return records
+
+
+def build_file_names(records: Sequence[Dict]
+                     ) -> Tuple[np.ndarray, Dict[int, int]]:
+    """Unique file names per image_id in first-seen order + id->dense index
+    (core/preprocess.py:348-360)."""
+    file_names, id_index = [], {}
+    for r in records:
+        if r["image_id"] not in id_index:
+            id_index[r["image_id"]] = len(file_names)
+            file_names.append(r["file_name"])
+    return np.asarray(file_names), id_index
+
+
+def build_image_indices(records: Sequence[Dict],
+                        id_index: Dict[int, int]) -> np.ndarray:
+    """Per-caption dense image index (core/preprocess.py:363-373)."""
+    return np.asarray([id_index[r["image_id"]] for r in records],
+                      dtype=np.int64)
+
+
+def build_references(records: Sequence[Dict]) -> Dict[int, List[str]]:
+    """Per-image reference captions ``caption.lower() + ' .'`` keyed by
+    dense index (features.py:69-83)."""
+    refs: Dict[int, List[str]] = {}
+    seen: Dict[int, int] = {}
+    for r in records:
+        if r["image_id"] not in seen:
+            seen[r["image_id"]] = len(refs)
+            refs[seen[r["image_id"]]] = []
+        refs[seen[r["image_id"]]].append(r["caption"].lower() + " .")
+    return refs
+
+
+# ---------------------------------------------------------------------------
+# Image feature extraction (host IO pool + device batches)
+# ---------------------------------------------------------------------------
+
+def _load_letterboxed(path: str, size: int = 640
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode + letterbox one image on host (PIL).  Returns
+    (canvas [S,S,3] f32, meta [scale,top,left], (h,w))."""
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        r, nh, nw, top, left = letterbox_params(h, w, size)
+        resized = im.resize((nw, nh), Image.BILINEAR)
+    canvas = np.full((size, size, 3), 114.0, np.float32)
+    canvas[top:top + nh, left:left + nw] = np.asarray(resized, np.float32)
+    return canvas, np.asarray([r, top, left], np.float32), \
+        np.asarray([h, w], np.float32)
+
+
+def extract_split_features(image_paths: Sequence[str], *,
+                           extractor_params=None,
+                           weights_dir: Optional[str] = None,
+                           num_objects: int = 36,
+                           max_obj: Optional[int] = None,
+                           batch_size: int = 64,
+                           num_workers: int = 8,
+                           num_position_dims: int = 84,
+                           verbose: bool = True
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """All images of a split -> ([N, S, 2048], [N, S, P]) arrays."""
+    import jax.numpy as jnp
+    from .pipeline import extract_features_batch, load_extractor
+
+    if extractor_params is None:
+        extractor_params = load_extractor(weights_dir)
+
+    n = len(image_paths)
+    s = num_objects + 1
+    all_feats = np.zeros((n, s, 2048), np.float32)
+    all_pos = np.zeros((n, s, num_position_dims), np.float32)
+
+    pool = ThreadPoolExecutor(num_workers)
+    try:
+        for start in range(0, n, batch_size):
+            paths = image_paths[start:start + batch_size]
+            loaded = list(pool.map(_load_letterboxed, paths))
+            real = len(loaded)
+            canvases = np.stack([c for c, _, _ in loaded])
+            metas = np.stack([m for _, m, _ in loaded])
+            sizes = np.stack([z for _, _, z in loaded])
+            if real < batch_size:      # static-shape pad
+                reps = batch_size - real
+                canvases = np.concatenate(
+                    [canvases, np.repeat(canvases[:1], reps, 0)])
+                metas = np.concatenate([metas,
+                                        np.repeat(metas[:1], reps, 0)])
+                sizes = np.concatenate([sizes,
+                                        np.repeat(sizes[:1], reps, 0)])
+            feats, poss, _ = extract_features_batch(
+                extractor_params, jnp.asarray(canvases),
+                jnp.asarray(metas), jnp.asarray(sizes),
+                num_objects=num_objects, max_obj=max_obj)
+            all_feats[start:start + real] = np.asarray(feats)[:real]
+            all_pos[start:start + real] = \
+                np.asarray(poss)[:real, :, :num_position_dims]
+            if verbose and (start // batch_size) % 10 == 0:
+                print(f"[etl] {start + real}/{n} images")
+    finally:
+        pool.shutdown()
+    return all_feats, all_pos
+
+
+# ---------------------------------------------------------------------------
+# Full driver
+# ---------------------------------------------------------------------------
+
+def run_etl(cfg: Config, *, coco_root: str,
+            splits: Sequence[str] = ("train", "valid", "test"),
+            batch_size: int = 64,
+            weights_dir: Optional[str] = None) -> None:
+    """features.py:16-119 equivalent against a standard COCO tree:
+    ``{coco_root}/annotations/captions_{train,val}2017.json`` and
+    ``{coco_root}/image/{train,val}2017/``."""
+    d = cfg.data
+    max_len = d.max_caption_words
+
+    ann_cache = os.path.join(d.data_path, "annotations")
+    os.makedirs(ann_cache, exist_ok=True)
+
+    def cached(split, builder):
+        path = os.path.join(ann_cache, f"{split}.annotations.pkl")
+        if os.path.exists(path):
+            from ..utils.io import load_pickle
+            return load_pickle(path)
+        records = builder()
+        save_pickle(records, path)
+        return records
+
+    train_records = cached("train", lambda: process_caption_data(
+        os.path.join(coco_root, "annotations/captions_train2017.json"),
+        os.path.join(coco_root, "image/train2017/"), max_len))
+
+    def _val_split():
+        val = process_caption_data(
+            os.path.join(coco_root, "annotations/captions_val2017.json"),
+            os.path.join(coco_root, "image/val2017/"), max_len)
+        cut = int(0.5 * len(val))      # features.py:41-47
+        return val[:cut], val[cut:]
+
+    if "valid" in splits or "test" in splits:
+        vpath = os.path.join(ann_cache, "valid.annotations.pkl")
+        tpath = os.path.join(ann_cache, "test.annotations.pkl")
+        if not (os.path.exists(vpath) and os.path.exists(tpath)):
+            valid_records, test_records = _val_split()
+            save_pickle(valid_records, vpath)
+            save_pickle(test_records, tpath)
+        else:
+            from ..utils.io import load_pickle
+            valid_records = load_pickle(vpath)
+            test_records = load_pickle(tpath)
+
+    records_by_split = {"train": train_records}
+    if "valid" in splits:
+        records_by_split["valid"] = valid_records
+    if "test" in splits:
+        records_by_split["test"] = test_records
+
+    word_index = None
+    from .pipeline import load_extractor
+    extractor = load_extractor(weights_dir)
+
+    for split in splits:
+        records = records_by_split[split]
+        out_dir = os.path.join(d.data_path, split)
+        os.makedirs(out_dir, exist_ok=True)
+
+        if split == "train":
+            word_index = build_vocab(
+                [r["caption"] for r in records],
+                threshold=d.word_count_threshold)
+            save_pickle(word_index, os.path.join(out_dir, "word_index.pkl"))
+        assert word_index is not None, "train must run before valid/test"
+
+        captions = build_caption_vector(
+            [r["caption"] for r in records], word_index,
+            max_length=max_len)
+        save_pickle(captions, os.path.join(out_dir,
+                                           f"{split}.captions.pkl"))
+
+        file_names, id_index = build_file_names(records)
+        save_pickle(file_names, os.path.join(out_dir,
+                                             f"{split}.file.names.pkl"))
+        save_pickle(build_image_indices(records, id_index),
+                    os.path.join(out_dir, f"{split}.image.indices.pkl"))
+        save_pickle(build_references(records),
+                    os.path.join(out_dir, f"{split}.references.pkl"))
+        print(f"[etl] {split}: caption artifacts written")
+
+        feats, poss = extract_split_features(
+            list(file_names), extractor_params=extractor,
+            num_objects=cfg.model.num_objects, max_obj=d.max_obj,
+            batch_size=batch_size,
+            num_position_dims=cfg.model.dim_positions)
+        save_hkl(feats, os.path.join(out_dir, f"{split}.features.hkl"))
+        save_hkl(poss, os.path.join(out_dir, f"{split}.positions.hkl"))
+        print(f"[etl] {split}: features {feats.shape} saved")

@@ -1,0 +1,111 @@
+"""On-device image ops: batched crop-and-resize, letterbox, normalization.
+
+The reference does per-crop host work — ``cv2.resize(..., INTER_CUBIC)`` on
+each detection crop, one at a time
+(``/root/reference/data/detect_for_preprocess.py:117-126``,
+``core/preprocess.py:48-54``).  Here cropping IS resizing: each output patch
+is sampled directly from the source image with
+``jax.image.scale_and_translate`` (one gather+filter per crop, vmapped over
+the box batch, all static shapes) — no intermediate crop buffer, no host
+round-trips.
+
+Interpolation note: 'cubic' here is the Keys kernel (a=-0.5); cv2
+INTER_CUBIC uses a=-0.75.  The difference is sub-1% per pixel and does not
+move downstream features materially; 'linear' is also available.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _crop_resize_one(image: jnp.ndarray, box: jnp.ndarray,
+                     out_size: int, method: str) -> jnp.ndarray:
+    """image [H,W,C] f32, box [4] (x1,y1,x2,y2) pixels -> [S,S,C]."""
+    x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+    scale_y = out_size / jnp.maximum(y2 - y1, 1e-3)
+    scale_x = out_size / jnp.maximum(x2 - x1, 1e-3)
+    # scale_and_translate samples out[i] at (i + 0.5)/scale - 0.5 - t/scale
+    return jax.image.scale_and_translate(
+        image,
+        shape=(out_size, out_size, image.shape[-1]),
+        spatial_dims=(0, 1),
+        scale=jnp.stack([scale_y, scale_x]),
+        translation=jnp.stack([-y1 * scale_y, -x1 * scale_x]),
+        method=method,
+        antialias=True,
+    )
+
+
+@partial(jax.jit, static_argnames=("out_size", "method"))
+def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray,
+                    out_size: int = 224,
+                    method: str = "cubic") -> jnp.ndarray:
+    """Batched crop+resize: image [H,W,C], boxes [N,4] xyxy pixels ->
+    [N, out_size, out_size, C]."""
+    return jax.vmap(lambda b: _crop_resize_one(image, b, out_size, method)
+                    )(boxes.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("out_size", "method"))
+def batched_crop_and_resize(images: jnp.ndarray, boxes: jnp.ndarray,
+                            out_size: int = 224,
+                            method: str = "cubic") -> jnp.ndarray:
+    """images [B,H,W,C], boxes [B,N,4] -> [B,N,S,S,C]."""
+    return jax.vmap(lambda im, bx: crop_and_resize(im, bx, out_size, method)
+                    )(images, boxes)
+
+
+def letterbox_params(h: int, w: int, size: int
+                     ) -> Tuple[float, int, int, int, int]:
+    """YOLO letterbox geometry: scale + top/left pad for an h x w image
+    into a size x size canvas (detect_for_preprocess.py letterbox
+    semantics: fit long side, center with gray padding)."""
+    r = min(size / h, size / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    top = (size - nh) // 2
+    left = (size - nw) // 2
+    return r, nh, nw, top, left
+
+
+@partial(jax.jit, static_argnames=("size", "method"))
+def letterbox_image(image: jnp.ndarray, size: int = 640,
+                    method: str = "linear",
+                    fill: float = 114.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[H,W,3] -> ([size,size,3], [scale, top, left]).
+
+    Static-shape letterbox: resize so the long side == size (aspect kept),
+    centered on a gray canvas.
+    """
+    h, w = image.shape[0], image.shape[1]
+    r = min(size / h, size / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    top = (size - nh) // 2
+    left = (size - nw) // 2
+    resized = jax.image.resize(image.astype(jnp.float32), (nh, nw, 3),
+                               method=method)
+    canvas = jnp.full((size, size, 3), fill, jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(canvas, resized, (top, left, 0))
+    meta = jnp.asarray([r, float(top), float(left)], jnp.float32)
+    return canvas, meta
+
+
+def unletterbox_boxes(boxes: jnp.ndarray, meta: jnp.ndarray,
+                      orig_h, orig_w) -> jnp.ndarray:
+    """Map xyxy boxes from the letterboxed canvas back to original-image
+    pixels (detect_for_preprocess.py:103 scale_coords semantics), clipped."""
+    r, top, left = meta[0], meta[1], meta[2]
+    x1 = (boxes[..., 0] - left) / r
+    y1 = (boxes[..., 1] - top) / r
+    x2 = (boxes[..., 2] - left) / r
+    y2 = (boxes[..., 3] - top) / r
+    x1 = jnp.clip(x1, 0, orig_w)
+    x2 = jnp.clip(x2, 0, orig_w)
+    y1 = jnp.clip(y1, 0, orig_h)
+    y2 = jnp.clip(y2, 0, orig_h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)

@@ -1,0 +1,212 @@
+"""Region-feature extraction pipeline: detector -> crops -> ResNet -> slots.
+
+Replaces ``image_feature_YOLOv5`` / ``image_feature_FasterRCNN``
+(``/root/reference/core/preprocess.py:91-221``) and ``get_boxes``
+(``data/detect_for_preprocess.py:25-167``), which reload both backbone
+checkpoints per image and run crops one at a time.  Here the whole
+image -> [S, 2048] features + [S, P] positions contract is ONE jitted,
+batched XLA program:
+
+  letterbox [B,640,640,3] -> YOLOv5 detect (fixed-shape NMS)
+    -> cap detections (num_obj//2 quirk, detect_for_preprocess.py:141-142)
+    -> on-device crop+resize of every box AND the whole image to 224
+    -> one ResNet-101 forward over [B*(1+K), 224, 224, 3]
+    -> assemble zero-padded feature/position slots.
+
+Fidelity quirks preserved behind flags:
+  * ``cap_half``: keep only num_obj//2 detections (reference default);
+  * ``max_obj``: keep the max_obj largest-area crops but blank every
+    position row except slot 0 (preprocess.py:105-110 — the cached-dataset
+    configuration);
+  * position rows = [x1/W, y1/H, x2/W, y2/H] + conf one-hot at the class
+    index (detect_for_preprocess.py:134-138); whole-image row =
+    [0,0,1,1] + zeros (preprocess.py:112-123).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nms import Detections
+from .ops import crop_and_resize, letterbox_image, unletterbox_boxes
+from .resnet import (IMAGENET_MEAN, IMAGENET_STD, init_resnet,
+                     resnet_features)
+from .yolov5 import init_yolov5, yolov5_detect
+
+
+class ExtractorParams(NamedTuple):
+    yolo: Dict
+    resnet: Dict
+
+
+def init_extractor(seed: int = 0) -> ExtractorParams:
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return ExtractorParams(yolo=init_yolov5(k1), resnet=init_resnet(k2))
+
+
+def load_extractor(weights_dir: Optional[str]) -> ExtractorParams:
+    """Load yolov5x + resnet101 weights from ``weights_dir`` (npz/torch
+    exports); random init when absent (shapes-only smoke mode)."""
+    from .resnet import load_torch_checkpoint as load_resnet
+    from .yolov5 import load_checkpoint as load_yolo
+    if weights_dir:
+        yolo_path = next((os.path.join(weights_dir, n)
+                          for n in ("yolov5x.npz", "yolov5x.pt")
+                          if os.path.exists(os.path.join(weights_dir, n))),
+                         None)
+        resnet_path = next((os.path.join(weights_dir, n)
+                            for n in ("resnet101.npz", "resnet101.pth")
+                            if os.path.exists(os.path.join(weights_dir, n))),
+                           None)
+        if yolo_path and resnet_path:
+            return ExtractorParams(yolo=load_yolo(yolo_path),
+                                   resnet=load_resnet(resnet_path))
+        print(f"[vision] weights not found under {weights_dir!r}; "
+              "using random-init backbones (smoke mode)")
+    return init_extractor()
+
+
+def _position_rows(boxes: jnp.ndarray, scores: jnp.ndarray,
+                   classes: jnp.ndarray, valid: jnp.ndarray,
+                   orig_w, orig_h, num_classes: int) -> jnp.ndarray:
+    """[K,4] canvas-free xyxy (original px) -> [K, 4+num_classes] rows."""
+    k = boxes.shape[0]
+    norm = jnp.stack([boxes[:, 0] / orig_w, boxes[:, 1] / orig_h,
+                      boxes[:, 2] / orig_w, boxes[:, 3] / orig_h], axis=-1)
+    onehot = jax.nn.one_hot(classes, num_classes,
+                            dtype=jnp.float32) * scores[:, None]
+    rows = jnp.concatenate([norm, onehot], axis=-1)
+    return rows * valid[:, None]
+
+
+@partial(jax.jit,
+         static_argnames=("num_objects", "cap_half", "max_obj",
+                          "num_classes", "crop_size"))
+def extract_features_batch(params: ExtractorParams,
+                           canvases: jnp.ndarray,
+                           metas: jnp.ndarray,
+                           orig_sizes: jnp.ndarray, *,
+                           num_objects: int = 36,
+                           cap_half: bool = True,
+                           max_obj: Optional[int] = None,
+                           num_classes: int = 80,
+                           crop_size: int = 224
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The whole pipeline for a batch.
+
+    canvases  [B, 640, 640, 3] float32 RGB 0..255 (letterboxed);
+    metas     [B, 3] (scale, top, left) from ``letterbox_image``;
+    orig_sizes[B, 2] (h, w) original pixels.
+    Returns (features [B, S, 2048], positions [B, S, 4+C], xyxy [B, K, 4])
+    with S = num_objects + 1.
+    """
+    b = canvases.shape[0]
+    s = num_objects + 1
+    k = num_objects            # detector slots
+
+    from .yolov5 import stem_is_focus
+    det: Detections = yolov5_detect(params.yolo, canvases / 255.0,
+                                    max_det=k, num_classes=num_classes,
+                                    focus_stem=stem_is_focus(params.yolo))
+    valid = det.valid
+    if cap_half:
+        # reference keeps only num_obj // 2 detections
+        # (detect_for_preprocess.py:141-142)
+        keep = jnp.arange(k)[None, :] < (num_objects // 2)
+        valid = valid & keep
+
+    oh = orig_sizes[:, 0].astype(jnp.float32)
+    ow = orig_sizes[:, 1].astype(jnp.float32)
+    boxes_orig = jax.vmap(unletterbox_boxes)(det.boxes, metas, oh, ow)
+
+    if max_obj is not None:
+        # keep the max_obj largest-area boxes (preprocess.py:105-110)
+        area = (boxes_orig[..., 2] - boxes_orig[..., 0]) * \
+               (boxes_orig[..., 3] - boxes_orig[..., 1])
+        area = jnp.where(valid, area, -1.0)
+        _, top_idx = jax.lax.top_k(area, max_obj)
+        take = jnp.zeros_like(valid).at[
+            jnp.arange(b)[:, None], top_idx].set(True)
+        valid = valid & take
+
+    # ---- crops: slot 0 = the whole letterboxed content region ----
+    r, top, left = metas[:, 0], metas[:, 1], metas[:, 2]
+    full_box = jnp.stack([left, top, left + ow * r, top + oh * r], axis=-1)
+    canvas_boxes = det.boxes                      # canvas coords
+    all_boxes = jnp.concatenate([full_box[:, None, :], canvas_boxes],
+                                axis=1)           # [B, 1+K, 4]
+
+    crops = jax.vmap(lambda im, bx: crop_and_resize(im, bx, crop_size)
+                     )(canvases, all_boxes)       # [B, 1+K, S, S, 3]
+    crops = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    flat = crops.reshape(b * (1 + k), crop_size, crop_size, 3)
+    feats = resnet_features(params.resnet, flat).reshape(b, 1 + k, -1)
+
+    slot_valid = jnp.concatenate(
+        [jnp.ones((b, 1), bool), valid], axis=1)  # [B, 1+K]
+    feats = feats * slot_valid[..., None]
+
+    # ---- positions ----
+    pos_obj = jax.vmap(_position_rows, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        boxes_orig, det.scores, det.classes, valid, ow, oh, num_classes)
+    full_row = jnp.concatenate(
+        [jnp.asarray([0.0, 0.0, 1.0, 1.0]),
+         jnp.zeros((num_classes,))])[None, None, :]
+    positions = jnp.concatenate(
+        [jnp.broadcast_to(full_row, (b, 1, 4 + num_classes)), pos_obj],
+        axis=1)
+
+    if max_obj is not None:
+        # cached-dataset quirk: only position row 0 survives
+        positions = positions * (jnp.arange(s) == 0)[None, :, None]
+
+    # shape contract: S = num_objects + 1 slots (preprocess.py:125-134)
+    feats = feats[:, :s]
+    positions = positions[:, :s]
+    return feats, positions, boxes_orig
+
+
+# ---------------------------------------------------------------------------
+# Host-side single-image helpers
+# ---------------------------------------------------------------------------
+
+def load_image_rgb(path: str) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+_EXTRACTORS: Dict[str, ExtractorParams] = {}
+
+
+def extract_single_image(path: str, *, image_model: str = "YOLOv5",
+                         num_objects: int = 36,
+                         max_obj: Optional[int] = None,
+                         weights_dir: Optional[str] = None
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``MODEL.preprocess`` equivalent (core/models.py:70-78): one image ->
+    (features [S,2048], positions [S,P], boxes_xyxy).  FasterRCNN routing
+    shares the YOLO slot contract with 91-class rows."""
+    if image_model not in ("YOLOv5", "FasterRCNN"):
+        raise ValueError(image_model)
+    key = weights_dir or "_random"
+    if key not in _EXTRACTORS:
+        _EXTRACTORS[key] = load_extractor(weights_dir)
+    params = _EXTRACTORS[key]
+
+    img = load_image_rgb(path).astype(np.float32)
+    h, w = img.shape[:2]
+    canvas, meta = letterbox_image(jnp.asarray(img), 640)
+    feats, poss, boxes = extract_features_batch(
+        params, canvas[None], meta[None],
+        jnp.asarray([[h, w]], jnp.float32),
+        num_objects=num_objects, max_obj=max_obj)
+    return (np.asarray(feats[0]), np.asarray(poss[0]),
+            np.asarray(boxes[0]))
