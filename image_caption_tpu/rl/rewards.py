@@ -66,7 +66,10 @@ class RewardComputer:
         if use_native:
             try:
                 from ..utils.native import NgramRewarder
-                self._native = NgramRewarder()
+                self._native = NgramRewarder(
+                    doc_frequency=self.ciderD.doc_frequency,
+                    log_ref_len=(self.ciderD.log_ref_len
+                                 if self.ciderD.doc_frequency else 0.0))
             except Exception:
                 self._native = None
 
@@ -80,9 +83,8 @@ class RewardComputer:
         gts_strs = self.decode(target_seq)
 
         if self._native is not None:
-            return self._native.score(res_strs, gts_strs,
-                                      self.cider_w, self.bleu_w,
-                                      log_ref_len=self._log_ref_len())
+            return self._native.structure_scores(res_strs, gts_strs,
+                                                 self.cider_w, self.bleu_w)
 
         n = len(res_strs)
         res = {i: [res_strs[i]] for i in range(n)}
@@ -103,14 +105,11 @@ class RewardComputer:
         return (self.cider_w * np.asarray(cider_scores)
                 + self.bleu_w * np.asarray(bleu_scores)).astype(np.float32)
 
-    def _log_ref_len(self) -> float:
-        if self.ciderD.doc_frequency is not None:
-            return float(self.ciderD.log_ref_len)
-        return 0.0  # corpus mode handled in Python path only
-
     def self_cider_scores(self, sample_seq: np.ndarray) -> np.ndarray:
         """loss.py:189-216 — per-sentence diversity (0 for single samples)."""
         res_strs = self.decode(sample_seq)
+        if self._native is not None:
+            return self._native.self_cider_scores(res_strs)
         scores = []
         for s in res_strs:
             gram = self.cider.my_self_cider([[s]])[0]

@@ -1,0 +1,107 @@
+"""ctypes binding for the native n-gram reward scorer (csrc/).
+
+Build once with ``make -C csrc``; ``NgramRewarder`` then accelerates the
+per-step RL reward computation (CIDEr-D + BLEU-4 over decoded strings).
+The Python scorers in ``metrics/`` are the oracle — ``tests/test_native.py``
+asserts bit-level agreement — and the automatic fallback when the shared
+library hasn't been built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                 "libngram_rewards.so"),
+    os.path.join(os.path.dirname(__file__), "libngram_rewards.so"),
+)
+
+
+def _fnv1a(data: bytes) -> int:
+    h = 1469598103934665603
+    for b in data:
+        h ^= b
+        h = (h * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hash_ngram(ngram: Tuple[str, ...]) -> int:
+    """Must match the C++ key: words joined with 0x1f, FNV-1a 64."""
+    return _fnv1a("\x1f".join(ngram).encode("utf-8"))
+
+
+def _load_lib() -> ctypes.CDLL:
+    last_err = None
+    for path in _LIB_PATHS:
+        path = os.path.abspath(path)
+        if os.path.exists(path):
+            try:
+                return ctypes.CDLL(path)
+            except OSError as e:         # wrong arch etc.
+                last_err = e
+    raise OSError(
+        f"libngram_rewards.so not built (run `make -C csrc`): {last_err}")
+
+
+class NgramRewarder:
+    """Native one-vs-one structure + self-CIDEr scorer."""
+
+    def __init__(self, doc_frequency: Optional[Dict] = None,
+                 log_ref_len: float = 0.0):
+        self._lib = _load_lib()
+        self._lib.icx_structure_scores.restype = None
+        self._lib.icx_self_cider_scores.restype = None
+
+        if doc_frequency:
+            hashes = np.fromiter(
+                (hash_ngram(g) for g in doc_frequency),
+                dtype=np.uint64, count=len(doc_frequency))
+            values = np.fromiter(doc_frequency.values(), dtype=np.float64,
+                                 count=len(doc_frequency))
+            self._df_hashes = np.ascontiguousarray(hashes)
+            self._df_values = np.ascontiguousarray(values)
+        else:
+            self._df_hashes = np.zeros((0,), np.uint64)
+            self._df_values = np.zeros((0,), np.float64)
+        self._log_ref_len = float(log_ref_len)
+
+    @staticmethod
+    def _c_strings(strings: Sequence[str]):
+        arr = (ctypes.c_char_p * len(strings))()
+        arr[:] = [s.encode("utf-8") for s in strings]
+        return arr
+
+    def _df_args(self):
+        return (
+            self._df_hashes.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint64)),
+            self._df_values.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_long(len(self._df_hashes)),
+            ctypes.c_double(self._log_ref_len),
+        )
+
+    def structure_scores(self, res: Sequence[str], gts: Sequence[str],
+                         cider_w: float, bleu_w: float) -> np.ndarray:
+        n = len(res)
+        out = np.zeros((n,), np.float32)
+        self._lib.icx_structure_scores(
+            self._c_strings(res), self._c_strings(gts), ctypes.c_int(n),
+            ctypes.c_double(cider_w), ctypes.c_double(bleu_w),
+            *self._df_args(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+
+    def self_cider_scores(self, res: Sequence[str]) -> np.ndarray:
+        n = len(res)
+        out = np.zeros((n,), np.float32)
+        self._lib.icx_self_cider_scores(
+            self._c_strings(res), ctypes.c_int(n),
+            *self._df_args(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
