@@ -174,6 +174,96 @@ def extract_features_batch(params: ExtractorParams,
 
 
 # ---------------------------------------------------------------------------
+# Faster R-CNN path (core/preprocess.py:141-221 contract)
+# ---------------------------------------------------------------------------
+
+class FrcnnExtractorParams(NamedTuple):
+    frcnn: Dict
+    resnet: Dict
+
+
+def init_frcnn_extractor(seed: int = 0) -> FrcnnExtractorParams:
+    from .frcnn import init_frcnn
+    from .resnet import init_resnet
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return FrcnnExtractorParams(frcnn=init_frcnn(k1),
+                                resnet=init_resnet(k2))
+
+
+def load_frcnn_extractor(weights_dir: Optional[str]) -> FrcnnExtractorParams:
+    from .frcnn import load_checkpoint as load_frcnn
+    from .resnet import load_torch_checkpoint as load_resnet
+    if weights_dir:
+        f = next((os.path.join(weights_dir, n)
+                  for n in ("fasterrcnn_resnet50_fpn.npz",
+                            "fasterrcnn_resnet50_fpn.pth")
+                  if os.path.exists(os.path.join(weights_dir, n))), None)
+        r = next((os.path.join(weights_dir, n)
+                  for n in ("resnet101.npz", "resnet101.pth")
+                  if os.path.exists(os.path.join(weights_dir, n))), None)
+        if f and r:
+            return FrcnnExtractorParams(frcnn=load_frcnn(f),
+                                        resnet=load_resnet(r))
+        print(f"[vision] frcnn weights not found under {weights_dir!r}; "
+              "using random-init backbones (smoke mode)")
+    return init_frcnn_extractor()
+
+
+@partial(jax.jit, static_argnames=("num_objects", "canvas", "crop_size"))
+def extract_features_frcnn(params: FrcnnExtractorParams,
+                           canvases: jnp.ndarray,
+                           metas: jnp.ndarray,
+                           orig_sizes: jnp.ndarray, *,
+                           num_objects: int = 36,
+                           canvas: int = 800, crop_size: int = 224
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FRCNN batch pipeline -> reference contract
+    (core/preprocess.py:141-221): positions = [y1/H, y2/H, x1/W, x2/W] +
+    91-dim score one-hot at (label-1); slot 0 = whole image [0,0,1,1]+zeros;
+    top ``num_objects`` detections, NOT halved."""
+    from .frcnn import frcnn_detect_single
+
+    b = canvases.shape[0]
+    s = num_objects + 1
+    norm = (canvases / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    det = jax.vmap(lambda im: frcnn_detect_single(
+        params.frcnn, im, canvas=canvas, max_det=num_objects))(norm)
+
+    oh = orig_sizes[:, 0].astype(jnp.float32)
+    ow = orig_sizes[:, 1].astype(jnp.float32)
+    boxes_orig = jax.vmap(unletterbox_boxes)(det.boxes, metas, oh, ow)
+
+    # crops from the canvas (slot 0 = the letterboxed content region)
+    r, top, left = metas[:, 0], metas[:, 1], metas[:, 2]
+    full_box = jnp.stack([left, top, left + ow * r, top + oh * r], axis=-1)
+    all_boxes = jnp.concatenate([full_box[:, None, :], det.boxes], axis=1)
+    crops = jax.vmap(lambda im, bx: crop_and_resize(im, bx, crop_size)
+                     )(canvases, all_boxes)
+    crops = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    feats = resnet_features(
+        params.resnet,
+        crops.reshape(b * s, crop_size, crop_size, 3)).reshape(b, s, -1)
+
+    slot_valid = jnp.concatenate([jnp.ones((b, 1), bool), det.valid], axis=1)
+    feats = feats * slot_valid[..., None]
+
+    def rows(bx, sc, lb, vd, h, w):
+        norm4 = jnp.stack([bx[:, 1] / h, bx[:, 3] / h,
+                           bx[:, 0] / w, bx[:, 2] / w], axis=-1)
+        onehot = jax.nn.one_hot(lb - 1, 91, dtype=jnp.float32) * sc[:, None]
+        return jnp.concatenate([norm4, onehot], axis=-1) * vd[:, None]
+
+    pos_obj = jax.vmap(rows)(boxes_orig, det.scores, det.labels,
+                             det.valid, oh, ow)
+    full_row = jnp.concatenate([jnp.asarray([0.0, 0.0, 1.0, 1.0]),
+                                jnp.zeros((91,))])[None, None, :]
+    positions = jnp.concatenate(
+        [jnp.broadcast_to(full_row, (b, 1, 95)), pos_obj], axis=1)
+    return feats, positions, boxes_orig
+
+
+# ---------------------------------------------------------------------------
 # Host-side single-image helpers
 # ---------------------------------------------------------------------------
 
@@ -183,7 +273,7 @@ def load_image_rgb(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), np.uint8)
 
 
-_EXTRACTORS: Dict[str, ExtractorParams] = {}
+_EXTRACTORS: Dict = {}
 
 
 def extract_single_image(path: str, *, image_model: str = "YOLOv5",
@@ -196,17 +286,25 @@ def extract_single_image(path: str, *, image_model: str = "YOLOv5",
     shares the YOLO slot contract with 91-class rows."""
     if image_model not in ("YOLOv5", "FasterRCNN"):
         raise ValueError(image_model)
-    key = weights_dir or "_random"
-    if key not in _EXTRACTORS:
-        _EXTRACTORS[key] = load_extractor(weights_dir)
-    params = _EXTRACTORS[key]
-
     img = load_image_rgb(path).astype(np.float32)
     h, w = img.shape[:2]
-    canvas, meta = letterbox_image(jnp.asarray(img), 640)
-    feats, poss, boxes = extract_features_batch(
-        params, canvas[None], meta[None],
-        jnp.asarray([[h, w]], jnp.float32),
-        num_objects=num_objects, max_obj=max_obj)
+
+    if image_model == "FasterRCNN":
+        key = ("frcnn", weights_dir or "_random")
+        if key not in _EXTRACTORS:
+            _EXTRACTORS[key] = load_frcnn_extractor(weights_dir)
+        canvas, meta = letterbox_image(jnp.asarray(img), 800)
+        feats, poss, boxes = extract_features_frcnn(
+            _EXTRACTORS[key], canvas[None], meta[None],
+            jnp.asarray([[h, w]], jnp.float32), num_objects=num_objects)
+    else:
+        key = ("yolo", weights_dir or "_random")
+        if key not in _EXTRACTORS:
+            _EXTRACTORS[key] = load_extractor(weights_dir)
+        canvas, meta = letterbox_image(jnp.asarray(img), 640)
+        feats, poss, boxes = extract_features_batch(
+            _EXTRACTORS[key], canvas[None], meta[None],
+            jnp.asarray([[h, w]], jnp.float32),
+            num_objects=num_objects, max_obj=max_obj)
     return (np.asarray(feats[0]), np.asarray(poss[0]),
             np.asarray(boxes[0]))

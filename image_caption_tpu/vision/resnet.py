@@ -146,6 +146,25 @@ def resnet_features_jit(params, images, compute_dtype=jnp.float32):
     return resnet_features(params, images, compute_dtype=compute_dtype)
 
 
+def resnet_feature_maps(params: Params, images: jnp.ndarray, *,
+                        compute_dtype=jnp.float32) -> List[jnp.ndarray]:
+    """[N,H,W,3] -> [C2, C3, C4, C5] stage outputs (strides 4/8/16/32) —
+    the backbone interface Faster R-CNN's FPN consumes."""
+    x = images.astype(compute_dtype)
+    x = _conv(x, params["stem"]["conv"], 2, [(3, 3), (3, 3)])
+    x = jax.nn.relu(_bn(x, params["stem"]["bn"]))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+    maps = []
+    for i, blocks in enumerate(params["layers"]):
+        for b, block in enumerate(blocks):
+            stride = 2 if (b == 0 and i > 0) else 1
+            x = _bottleneck(block, x, stride)
+        maps.append(x)
+    return maps
+
+
 def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
     """uint8/float [N,H,W,3] RGB in [0,255] -> ImageNet-normalized float32
     (ToTensor + Normalize, core/preprocess.py:29-34)."""
