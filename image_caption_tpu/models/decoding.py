@@ -218,11 +218,24 @@ def greedy_decode(params: Params, cfg: ModelConfig,
 
 def _gather_beams(x: jnp.ndarray, beam_idx: jnp.ndarray,
                   batch: int, k: int) -> jnp.ndarray:
-    """x [B*K, ...] reordered by beam_idx [B, K] -> [B*K, ...]."""
-    xr = x.reshape(batch, k, *x.shape[1:])
-    idx = beam_idx.reshape(batch, k, *([1] * (x.ndim - 1)))
-    out = jnp.take_along_axis(xr, idx, axis=1)
-    return out.reshape(batch * k, *x.shape[1:])
+    """x [B*K, ...] reordered by beam_idx [B, K] -> [B*K, ...].
+
+    Realized as a one-hot einsum over the beam dim: for beam-search K
+    (<= 8) this is a [K x K] batched matmul the MXU eats for free, whereas
+    ``take_along_axis`` lowers to a scalar gather that dominates the whole
+    decode loop on TPU."""
+    dtype = x.dtype
+    # ints/bools ride the matmul in f32: values (tokens < 2^24, 0/1 flags)
+    # are exact, and the one-hot selects a single row
+    xr = x.reshape(batch, k, -1).astype(jnp.float32)
+    onehot = jax.nn.one_hot(beam_idx, k, dtype=jnp.float32)  # [B, Knew, Kold]
+    out = jnp.einsum("bnk,bkx->bnx", onehot, xr,
+                     preferred_element_type=jnp.float32)
+    if dtype == jnp.bool_:
+        out = out > 0.5
+    elif jnp.issubdtype(dtype, jnp.integer):
+        out = jnp.round(out)
+    return out.astype(dtype).reshape(batch * k, *x.shape[1:])
 
 
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "score_mode",
@@ -285,10 +298,15 @@ def beam_search(params: Params, cfg: ModelConfig,
                                         cross_kv, cross_neg, enc_bk)
         p = scorefn(logits)                            # [B*K, V]
         combined = p + scores[:, None]
-        flat = combined.reshape(b, k * v)
+        # two-stage top-k (exact): the global top-K over K*V can only use
+        # each beam's own top-K tokens — shrink the final top-k from
+        # [B, K*V] to [B, K*K]
+        local_s, local_i = jax.lax.top_k(combined, k)  # [B*K, K]
+        flat = local_s.reshape(b, k * k)
         new_scores, idx = jax.lax.top_k(flat, k)       # [B, K]
-        beam_idx = idx // v
-        new_tok = (idx % v).astype(jnp.int32)
+        beam_idx = idx // k
+        new_tok = jnp.take_along_axis(
+            local_i.reshape(b, k * k), idx, axis=1).astype(jnp.int32)
 
         tokens = _gather_beams(tokens, beam_idx, b, k)
         cache = jax.tree.map(lambda x: _gather_beams(x, beam_idx, b, k),
