@@ -238,6 +238,124 @@ def _gather_beams(x: jnp.ndarray, beam_idx: jnp.ndarray,
     return out.astype(dtype).reshape(batch * k, *x.shape[1:])
 
 
+class BeamCache(NamedTuple):
+    """Gather-free beam state: K/V stay where they were written; beam
+    reordering touches only the small ancestry/validity/token arrays.
+
+    A naive beam step reorders every layer's [B*K, H, T, dh] cache each
+    iteration — ~400 MB of HBM traffic per step that dominates the whole
+    decode on TPU.  Here each beam slot keeps appending to its own cache
+    lane and ``ancestry[b, n, τ]`` records which lane wrote position τ of
+    beam n's current hypothesis; self-attention scores against ALL lanes'
+    keys and masks to the ancestor lane (K× extra MACs on tiny tensors —
+    free next to the saved bandwidth)."""
+    k: Tuple[jnp.ndarray, ...]        # each [B, H, K, T, dh_k]
+    v: Tuple[jnp.ndarray, ...]        # each [B, H, K, T, dh_v]
+    ancestry: jnp.ndarray             # [B, K, T] int32 — writing lane per pos
+    valid: jnp.ndarray                # [B, K, T] bool — non-pad token at pos
+
+
+def _mha_step_self_beam(p: Params, x, cache_k, cache_v, pos, allowed, *,
+                        num_heads: int, batch: int, k: int):
+    """Beam self-attention against all lanes.
+
+    x [B*K, 1, D]; cache_k/v [B, H, Kl, T, dh] (head-major so the lane
+    scan is a clean [B*H]-batched matmul over the flattened (lane, pos)
+    key axis — no per-step cache relayout); allowed [B, K, Kl, T] bool.
+    Returns (out [B*K, 1, D], new cache_k, new cache_v)."""
+    h = num_heads
+    t_total = cache_k.shape[3]
+    q = L.linear(p["q"], x).reshape(batch, k, h, -1).transpose(0, 2, 1, 3)
+    # new k/v: [B, H, K, 1, dh] — every lane writes its own entry at `pos`
+    k_new = L.linear(p["k"], x).reshape(batch, k, h, 1, -1).transpose(
+        0, 2, 1, 3, 4)
+    v_new = L.linear(p["v"], x).reshape(batch, k, h, 1, -1).transpose(
+        0, 2, 1, 3, 4)
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, k_new.astype(cache_k.dtype), (0, 0, 0, pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, v_new.astype(cache_v.dtype), (0, 0, 0, pos, 0))
+
+    temperature = math.sqrt(q.shape[-1])
+    keys = cache_k.reshape(batch, h, k * t_total, -1)         # [B,H,MT,dh]
+    vals = cache_v.reshape(batch, h, k * t_total, -1)
+    scores = jnp.einsum("bhnd,bhkd->bhnk", q / temperature,
+                        keys.astype(q.dtype),
+                        preferred_element_type=jnp.float32)   # [B,H,K,MT]
+    mask = allowed.reshape(batch, 1, k, k * t_total)
+    scores = jnp.where(mask, scores, -jnp.inf)
+    attn = masked_softmax(scores)
+    out = jnp.einsum("bhnk,bhkd->bhnd", attn, vals.astype(q.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(batch * k, 1, -1)
+    out = L.linear(p["joint"], out)
+    out = L.layer_norm(p["norm"], out + x)
+    return out, cache_k, cache_v
+
+
+def decoder_step_beam(params: Params, cfg: ModelConfig,
+                      token: jnp.ndarray, pos, cache: BeamCache,
+                      cross_kv, cross_neg_mask, encode_output):
+    """One decode step over [B, K] beams without cache reordering."""
+    dec = params["decoder"]
+    b, k = token.shape
+    flat_token = token.reshape(b * k)
+    is_word = flat_token != cfg.pad_idx
+
+    # this step writes lane n at position `pos`
+    lane = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                            (b, k, 1))
+    ancestry = jax.lax.dynamic_update_slice(cache.ancestry, lane,
+                                            (0, 0, pos))
+    valid = jax.lax.dynamic_update_slice(
+        cache.valid, is_word.reshape(b, k, 1), (0, 0, pos))
+
+    t_total = cache.valid.shape[-1]
+    pos_ids = jnp.arange(t_total)
+    # beam n may attend lane m at τ iff m wrote τ for n, τ <= pos, non-pad
+    allowed = (ancestry[:, :, None, :] ==
+               jnp.arange(k, dtype=jnp.int32)[None, None, :, None])
+    allowed &= (pos_ids <= pos)[None, None, None, :]
+    allowed &= valid[:, :, None, :]
+
+    x = L.embedding(dec["word_embedding"], flat_token[:, None])
+    x = L.linear(dec["word_embedding_linear"], x)
+    table = _decoder_pos_table(cfg)
+    x = x + jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)
+    x = L.layer_norm(dec["norm"], x)
+
+    nonpad = is_word[:, None, None].astype(x.dtype)
+    cross_k, cross_v = cross_kv
+    new_k, new_v = [], []
+    for i, block in enumerate(dec["blocks"]):
+        x, ck, cv = _mha_step_self_beam(
+            block["self_attn"], x, cache.k[i], cache.v[i], pos, allowed,
+            num_heads=cfg.decode_num_heads, batch=b, k=k)
+        new_k.append(ck)
+        new_v.append(cv)
+        x, _ = _mha_step_cross(block["cross_attn"], x, cross_k[i],
+                               cross_v[i], cross_neg_mask,
+                               num_heads=cfg.decode_num_heads)
+        x = L.ffn(block["ffn"], x, dropout_rate=0.0, deterministic=True)
+        x = x * nonpad
+
+    if cfg.move_first_image_feature:
+        x = _move_first_image_feature(params["decoder"], cfg, x,
+                                      encode_output, deterministic=True)
+
+    logits = L.linear(params["classifier"], x[:, 0])
+    new_cache = BeamCache(k=tuple(new_k), v=tuple(new_v),
+                          ancestry=ancestry, valid=valid)
+    return logits.reshape(b, k, -1), new_cache
+
+
+def _reindex_small(x: jnp.ndarray, beam_idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis over the beam dim for the small per-beam state
+    (ancestry / valid / tokens / scores) — KBs, not MBs."""
+    idx = beam_idx.reshape(*beam_idx.shape, *([1] * (x.ndim - 2)))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "score_mode",
                                    "use_pallas"))
 def beam_search(params: Params, cfg: ModelConfig,
@@ -260,7 +378,7 @@ def beam_search(params: Params, cfg: ModelConfig,
                                      use_pallas=use_pallas)
     b, s, d = encode_output.shape
     k = beam_size
-    v = cfg.num_vocab
+    t_total = cfg.max_length - 1
 
     def scorefn(logits):
         return (jax.nn.softmax(logits, axis=-1) if score_mode == "prob"
@@ -277,45 +395,53 @@ def beam_search(params: Params, cfg: ModelConfig,
     p0 = scorefn(logits0)
     scores, tok1 = jax.lax.top_k(p0, k)               # [B, K] each
 
-    # ---- expand all state to B*K (beam-major within batch)
+    # ---- beam state: lanes share the step-0 entry (broadcast once)
     def expand(x):
         return jnp.repeat(x, k, axis=0)
 
     enc_bk = expand(encode_output)
     cross_kv = jax.tree.map(expand, cross_kv_b)
     cross_neg = expand(cross_neg_b)
-    cache = jax.tree.map(expand, cache_b)
 
-    tokens = jnp.zeros((b * k, cfg.max_length), jnp.int32)
-    tokens = tokens.at[:, 0].set(START_IDX)
-    tokens = tokens.at[:, 1].set(tok1.reshape(-1))
-    scores = scores.reshape(-1)                        # [B*K]
+    cache = BeamCache(
+        # greedy cache [B,H,T,dh] -> lane-replicated [B,H,K,T,dh]
+        k=tuple(jnp.repeat(x[:, :, None], k, axis=2) for x in cache_b.k),
+        v=tuple(jnp.repeat(x[:, :, None], k, axis=2) for x in cache_b.v),
+        # position 0 was written identically to every lane; credit lane n
+        ancestry=jnp.zeros((b, k, t_total), jnp.int32) + jnp.arange(
+            k, dtype=jnp.int32)[None, :, None],
+        valid=jnp.broadcast_to(cache_b.valid[:, None], (b, k, t_total)),
+    )
+
+    tokens = jnp.zeros((b, k, cfg.max_length), jnp.int32)
+    tokens = tokens.at[:, :, 0].set(START_IDX)
+    tokens = tokens.at[:, :, 1].set(tok1)
 
     def body(carry, t):
         tokens, scores, cache = carry
-        token_t = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1)[:, 0]
-        logits, cache, _ = decoder_step(params, cfg, token_t, t, cache,
-                                        cross_kv, cross_neg, enc_bk)
-        p = scorefn(logits)                            # [B*K, V]
-        combined = p + scores[:, None]
+        token_t = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=2)[..., 0]
+        logits, cache = decoder_step_beam(params, cfg, token_t, t, cache,
+                                          cross_kv, cross_neg, enc_bk)
+        p = scorefn(logits)                            # [B, K, V]
+        combined = p + scores[..., None]
         # two-stage top-k (exact): the global top-K over K*V can only use
-        # each beam's own top-K tokens — shrink the final top-k from
-        # [B, K*V] to [B, K*K]
-        local_s, local_i = jax.lax.top_k(combined, k)  # [B*K, K]
-        flat = local_s.reshape(b, k * k)
-        new_scores, idx = jax.lax.top_k(flat, k)       # [B, K]
+        # each beam's own top-K tokens
+        local_s, local_i = jax.lax.top_k(combined, k)  # [B, K, K]
+        new_scores, idx = jax.lax.top_k(local_s.reshape(b, k * k), k)
         beam_idx = idx // k
         new_tok = jnp.take_along_axis(
             local_i.reshape(b, k * k), idx, axis=1).astype(jnp.int32)
 
-        tokens = _gather_beams(tokens, beam_idx, b, k)
-        cache = jax.tree.map(lambda x: _gather_beams(x, beam_idx, b, k),
-                             cache)
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, new_tok.reshape(-1)[:, None], t + 1, axis=1)
-        return (tokens, new_scores.reshape(-1), cache), None
+        # reorder only the small state; K/V lanes stay put
+        tokens = _reindex_small(tokens, beam_idx)
+        cache = cache._replace(
+            ancestry=_reindex_small(cache.ancestry, beam_idx),
+            valid=_reindex_small(cache.valid, beam_idx))
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_tok[:, :, None], (0, 0, t + 1))
+        return (tokens, new_scores, cache), None
 
     (tokens, scores, _), _ = jax.lax.scan(
         body, (tokens, scores, cache), jnp.arange(1, cfg.max_length - 1))
     # beam 0 = highest accumulated score (sorted top_k) — model.py:200
-    return tokens.reshape(b, k, -1)[:, 0]
+    return tokens[:, 0]

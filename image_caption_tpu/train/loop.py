@@ -78,6 +78,13 @@ class Trainer:
                                                self.step_rng)
         return {k: float(v) for k, v in metrics.items()}
 
+    def train_step_device(self, batch):
+        """Step on an already-sharded batch (prefetched path); async —
+        does not block on the metrics."""
+        self.state, metrics = self._train_step(self.state, batch,
+                                               self.step_rng)
+        return metrics
+
     def compute_loss(self, features, positions, captions):
         batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
         return {k: float(v) for k, v in
@@ -165,11 +172,19 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
     fixed_train = next(train_batches.epoch(0))[:3]
     fixed_valid = next(iter(valid_batches))[:3]
 
+    from ..data.prefetch import Prefetcher
+
     global_it = 0
     for epoch in range(start_epoch, num_epochs + 1):
         t0 = time.time()
-        for feats, poss, caps, _ in train_batches.epoch(epoch):
-            trainer.train_step(feats, poss, caps)
+        # background thread assembles + device_puts batches ahead of the
+        # (async-dispatched) train step
+        prefetched = Prefetcher(
+            train_batches.epoch(epoch),
+            transform=lambda item: pmesh.shard_batch(trainer.mesh,
+                                                     item[:3]))
+        for batch in prefetched:
+            trainer.train_step_device(batch)
             global_it += 1
 
             if global_it % t.log_every == 0:

@@ -1,0 +1,86 @@
+"""End-to-end integration on the virtual CPU mesh (SURVEY.md §4 item 3):
+synthetic dataset -> train steps (loss decreases) -> greedy decode ->
+coco metrics -> checkpoint roundtrip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from image_caption_tpu.config import get_preset
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    from image_caption_tpu.data.synthetic import generate_synthetic_dataset
+    d = str(tmp_path_factory.mktemp("synth"))
+    generate_synthetic_dataset(d, num_images={"train": 12, "valid": 4},
+                               captions_per_image=3)
+    return d
+
+
+@pytest.fixture(scope="module")
+def cfg(synth_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    return get_preset("maxlen49_64").with_overrides(**{
+        "model.num_vocab": 64, "train.batch_size": 8,
+        "data.data_path": synth_dir, "data.output_path": out,
+    })
+
+
+@pytest.mark.slow
+def test_end_to_end_train_decode_score(cfg):
+    from image_caption_tpu.data.dataset import CaptionBatches, load_split
+    from image_caption_tpu.data.vocab import invert_vocab
+    from image_caption_tpu.metrics.evaluate import score_captions
+    from image_caption_tpu.train.loop import Trainer, decode_split
+
+    train_split = load_split(cfg.data.data_path, "train", verbose=False)
+    valid_split = load_split(cfg.data.data_path, "valid", verbose=False,
+                             load_references=True)
+    # vocab must cover the synthetic grammar
+    assert len(train_split.word_to_idx) <= cfg.model.num_vocab
+
+    trainer = Trainer(cfg)
+    batches = CaptionBatches(train_split, cfg.train.batch_size, seed=0)
+
+    first = next(batches.epoch(0))
+    loss0 = trainer.compute_loss(*first[:3])["loss"]
+    for epoch in range(4):
+        for feats, poss, caps, _ in batches.epoch(epoch):
+            trainer.train_step(feats, poss, caps)
+    loss1 = trainer.compute_loss(*first[:3])["loss"]
+    assert np.isfinite(loss1) and loss1 < loss0
+
+    idx_to_word = invert_vocab(train_split.word_to_idx)
+    candidates = decode_split(trainer.state.params, cfg, valid_split,
+                              cfg.train.batch_size, idx_to_word,
+                              use_pallas=False)
+    assert len(candidates) == valid_split.num_images
+
+    hypo = {i: [c] for i, c in enumerate(candidates)}
+    scores = score_captions(valid_split.references, hypo, verbose=False)
+    for key in ("BLEU_1", "BLEU_4", "ROUGE_L", "CIDEr", "CIDEr-D"):
+        assert key in scores
+        assert np.isfinite(scores[key])
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(cfg):
+    import jax
+    from image_caption_tpu.train.checkpoint import CheckpointManager
+    from image_caption_tpu.train.state import create_train_state
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    d = os.path.join(cfg.data.output_path, "ckpt_test")
+    mgr = CheckpointManager(d, keep=2)
+    mgr.save(1, jax.device_get(state))
+    mgr.save(2, jax.device_get(state._replace(step=state.step + 5)))
+    assert mgr.latest_epoch() == 2
+    restored = mgr.restore(2, state)
+    assert int(restored.step) == 5
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    mgr.close()
