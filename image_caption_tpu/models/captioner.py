@@ -34,6 +34,10 @@ from . import layers as L
 Params = Dict
 
 
+def compute_dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
@@ -198,8 +202,9 @@ def _embed_tokens(params: Params, cfg: ModelConfig,
     """word embed -> bias-free linear -> +sinusoid -> LayerNorm
     (model.py:432-436)."""
     x = L.embedding(params["word_embedding"], caption)
-    x = L.linear(params["word_embedding_linear"], x)
-    table = _decoder_pos_table(cfg)
+    x = L.linear(params["word_embedding_linear"],
+                 x.astype(compute_dtype(cfg)))
+    table = _decoder_pos_table(cfg).astype(x.dtype)
     t = caption.shape[-1]
     x = x + jax.lax.dynamic_slice_in_dim(table, position_offset, t, axis=0)
     return L.layer_norm(params["norm"], x)
@@ -293,14 +298,18 @@ def captioner_logits(params: Params, cfg: ModelConfig,
     input_caption = target_caption[:, :-1].astype(jnp.int32)
     context_mask = M.key_pad_mask_from_features(position_features,
                                                 input_caption.shape[1])
+    dtype = compute_dtype(cfg)
     encode_output, _ = encoder_apply(
-        params["encoder"], cfg, object_features, position_features,
+        params["encoder"], cfg, object_features.astype(dtype),
+        position_features.astype(dtype),
         rng=enc_rng, deterministic=deterministic, use_pallas=use_pallas)
     decode_output, _, _ = decoder_apply(
         params["decoder"], cfg, input_caption, encode_output,
         context_attention_mask=context_mask, rng=dec_rng,
         deterministic=deterministic, use_pallas=use_pallas)
-    return L.linear(params["classifier"], decode_output)
+    # logits in f32 for a stable softmax/loss
+    return L.linear(params["classifier"],
+                    decode_output.astype(jnp.float32))
 
 
 def cross_entropy_ignore_pad(logits: jnp.ndarray, targets: jnp.ndarray,

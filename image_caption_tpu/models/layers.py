@@ -60,9 +60,13 @@ def init_linear(key, in_dim, out_dim, *, bias: bool,
 
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ params["kernel"]
+    """Params are cast to the activation dtype: under bf16 compute the
+    matmul runs on the MXU in bf16 with f32 accumulation (master params
+    stay f32)."""
+    y = jnp.dot(x, params["kernel"].astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in params:
-        y = y + params["bias"]
+        y = y + params["bias"].astype(x.dtype)
     return y
 
 
@@ -74,11 +78,13 @@ def init_layer_norm(dim: int) -> Params:
 def layer_norm(params: Params, x: jnp.ndarray,
                eps: float = 1e-6) -> jnp.ndarray:
     """torch LayerNorm semantics (biased variance), eps=1e-6
-    (modules.py:57,105)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * params["scale"] + params["bias"]
+    (modules.py:57,105).  Statistics in f32 regardless of compute dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(dtype)
 
 
 def init_embedding(key, num_embeddings, dim, pad_idx: Optional[int] = 0):

@@ -72,9 +72,9 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
                             *, temperature: float):
     """One (batch, head) tile: the whole [Lq, Dh] x [Lk, Dh] problem fits in
     VMEM for caption-scale shapes (L <= 64, Dh <= 128)."""
-    q = q_ref[0]                                    # [Lq, Dh]
-    k = k_ref[0]                                    # [Lk, Dh]
-    v = v_ref[0]                                    # [Lk, Dh]
+    q = q_ref[0, 0]                                 # [Lq, Dh]
+    k = k_ref[0, 0]                                 # [Lk, Dh]
+    v = v_ref[0, 0]                                 # [Lk, Dh]
     scores = jax.lax.dot_general(
         q.astype(jnp.float32) * (1.0 / temperature), k.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -86,9 +86,9 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
     # Guard fully-masked rows (max = -inf) so exp doesn't produce NaN*0.
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
     p = p / denom
-    out_ref[0] = jax.lax.dot_general(
+    out_ref[0, 0] = jax.lax.dot_general(
         p, v.astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
@@ -135,6 +135,106 @@ def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Custom-VJP fused attention (training path)
+# ---------------------------------------------------------------------------
+
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                          dq_ref, dk_ref, dv_ref, *, temperature: float):
+    """Flash-style backward for one (batch, head) tile: recompute P in VMEM
+    (cheaper than saving it), then
+      dV = P^T dO;  dP = dO V^T;  dS = P * (dP - rowsum(dP*P));
+      dQ = dS K / temp;  dK = dS^T Q / temp.
+    """
+    f32 = jnp.float32
+    q = q_ref[0, 0].astype(f32)
+    k = k_ref[0, 0].astype(f32)
+    v = v_ref[0, 0].astype(f32)
+    do = do_ref[0, 0].astype(f32)
+    inv_t = 1.0 / temperature
+
+    scores = jax.lax.dot_general(
+        q * inv_t, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    masked = mask_ref[0] != 0
+    scores = jnp.where(masked, _NEG_INF, scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(scores - m)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    p = e / denom                                        # [Lq, Lk]
+
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) * inv_t).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32) * inv_t).astype(dk_ref.dtype)
+
+
+def _pallas_specs(b, h, lq, lk, dh):
+    qspec = pl.BlockSpec((1, 1, lq, dh), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, lk, dh), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, lq, lk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, mspec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_attention(q, k, v, mask_i8, temperature):
+    """Differentiable fused attention (no dropout, no weight output).
+
+    q [B,H,Lq,Dh], k/v [B,H,Lk,Dh], mask_i8 int8 [B,Lq,Lk] (nonzero =
+    masked).  Forward and backward are both single-pass Pallas kernels."""
+    return _fused_fwd_call(q, k, v, mask_i8, temperature)
+
+
+def _fused_fwd_call(q, k, v, mask_i8, temperature):
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    qspec, kspec, mspec = _pallas_specs(b, h, lq, lk, dh)
+    return pl.pallas_call(
+        functools.partial(_fused_attention_kernel, temperature=temperature),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, dh), q.dtype),
+        grid=(b, h),
+        in_specs=[qspec, kspec, kspec, mspec],
+        out_specs=qspec,
+    )(q, k, v, mask_i8)
+
+
+def _fused_fwd(q, k, v, mask_i8, temperature):
+    return _fused_fwd_call(q, k, v, mask_i8, temperature), (q, k, v, mask_i8)
+
+
+def _fused_bwd(temperature, residuals, g):
+    q, k, v, mask_i8 = residuals
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    qspec, kspec, mspec = _pallas_specs(b, h, lq, lk, dh)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attention_bwd_kernel, temperature=temperature),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        grid=(b, h),
+        in_specs=[qspec, kspec, kspec, mspec, qspec],
+        out_specs=(qspec, kspec, kspec),
+    )(q, k, v, mask_i8, g)
+    return dq, dk, dv, None
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
 def sdp_attention(q, k, v, mask, temperature, *,
                   dropout_rate: float = 0.0,
                   rng: Optional[jax.Array] = None,
@@ -144,12 +244,20 @@ def sdp_attention(q, k, v, mask, temperature, *,
                   ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Dispatch between the fused Pallas kernel and the XLA path.
 
-    The Pallas path is used only when gradients/weights/dropout are not
-    required (inference).  Falls back transparently on non-TPU backends.
+    The fused Pallas path runs whenever attention weights and dropout are
+    not required — it is differentiable (custom VJP, backward is also a
+    single-pass kernel), so it serves training too.  Falls back
+    transparently on non-TPU backends.
     """
-    if use_pallas and deterministic and not need_weights:
+    dropout_active = (not deterministic and dropout_rate > 0.0
+                      and rng is not None)
+    if use_pallas and not need_weights and not dropout_active:
         try:
-            return attention_pallas(q, k, v, mask, temperature), None
+            b, lq = q.shape[0], q.shape[2]
+            lk = k.shape[2]
+            mask_i8 = (jnp.zeros((b, lq, lk), jnp.int8) if mask is None
+                       else mask.astype(jnp.int8))
+            return fused_attention(q, k, v, mask_i8, temperature), None
         except Exception:
             pass  # non-TPU backend or unsupported shape: fall through
     out, attn = _attention_xla(q, k, v, mask, temperature,
