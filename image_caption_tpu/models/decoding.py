@@ -133,9 +133,10 @@ def decoder_step(params: Params, cfg: ModelConfig, token: jnp.ndarray,
     valid = jax.lax.dynamic_update_slice_in_dim(
         cache.valid, is_word[:, None], pos, axis=1)
 
-    x = L.embedding(dec["word_embedding"], token[:, None])
+    dtype = encode_output.dtype
+    x = L.embedding(dec["word_embedding"], token[:, None]).astype(dtype)
     x = L.linear(dec["word_embedding_linear"], x)
-    table = _decoder_pos_table(cfg)
+    table = _decoder_pos_table(cfg).astype(dtype)
     x = x + jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)
     x = L.layer_norm(dec["norm"], x)
 
@@ -162,7 +163,7 @@ def decoder_step(params: Params, cfg: ModelConfig, token: jnp.ndarray,
         x = _move_first_image_feature(params["decoder"], cfg, x,
                                       encode_output, deterministic=True)
 
-    logits = L.linear(params["classifier"], x[:, 0])
+    logits = L.linear(params["classifier"], x[:, 0].astype(jnp.float32))
     new_cache = DecodeCache(k=tuple(new_k), v=tuple(new_v), valid=valid)
     return logits, new_cache, cross_attn[:, :, 0, :]
 
@@ -318,9 +319,11 @@ def decoder_step_beam(params: Params, cfg: ModelConfig,
     allowed &= (pos_ids <= pos)[None, None, None, :]
     allowed &= valid[:, :, None, :]
 
-    x = L.embedding(dec["word_embedding"], flat_token[:, None])
+    dtype = encode_output.dtype
+    x = L.embedding(dec["word_embedding"],
+                    flat_token[:, None]).astype(dtype)
     x = L.linear(dec["word_embedding_linear"], x)
-    table = _decoder_pos_table(cfg)
+    table = _decoder_pos_table(cfg).astype(dtype)
     x = x + jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)
     x = L.layer_norm(dec["norm"], x)
 
@@ -343,7 +346,7 @@ def decoder_step_beam(params: Params, cfg: ModelConfig,
         x = _move_first_image_feature(params["decoder"], cfg, x,
                                       encode_output, deterministic=True)
 
-    logits = L.linear(params["classifier"], x[:, 0])
+    logits = L.linear(params["classifier"], x[:, 0].astype(jnp.float32))
     new_cache = BeamCache(k=tuple(new_k), v=tuple(new_v),
                           ancestry=ancestry, valid=valid)
     return logits.reshape(b, k, -1), new_cache

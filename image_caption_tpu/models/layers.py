@@ -207,7 +207,7 @@ def encoder_block(params: Params, x, *, num_heads: int, dropout_rate: float,
     out = ffn(params["ffn"], out, dropout_rate=dropout_rate, rng=r2,
               deterministic=deterministic)
     if non_pad_mask is not None:
-        out = out * non_pad_mask
+        out = out * non_pad_mask.astype(out.dtype)
     return out, attn
 
 
@@ -242,7 +242,7 @@ def decoder_block(params: Params, x, encode_output, *, num_heads: int,
     out = ffn(params["ffn"], out, dropout_rate=dropout_rate, rng=r3,
               deterministic=deterministic)
     if non_pad_mask is not None:
-        out = out * non_pad_mask
+        out = out * non_pad_mask.astype(out.dtype)
     return out, self_attn, cross_attn
 
 

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Build the frozen CIDEr document-frequency pickle for RL rewards.
+
+The reference builds its scorers with ``df='coco-val'`` — a precomputed
+n-gram document-frequency table over the COCO validation corpus
+(``/root/reference/core/TRANSFORMER/loss.py:112-116``).  This script
+produces an equivalent pickle from any references file or captions JSON:
+
+    python scripts/build_cider_df.py data/train/train.references.pkl \\
+        data/coco-val-df.p
+
+The output format is ``{"document_frequency": {ngram_tuple: df},
+"ref_len": log(N)}`` — what ``metrics.cider`` loads via ``$ICX_CIDER_DF``
+or ``./data/coco-val-df.p``.
+"""
+
+import json
+import pickle
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+
+def iter_caption_groups(path):
+    """Yield lists of captions per image from a references pickle
+    ({idx: [captions]}) or a COCO captions JSON."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            coco = json.load(f)
+        groups = defaultdict(list)
+        for ann in coco["annotations"]:
+            groups[ann["image_id"]].append(ann["caption"].lower())
+        yield from groups.values()
+    else:
+        with open(path, "rb") as f:
+            refs = pickle.load(f)
+        yield from refs.values()
+
+
+def main(src: str, dst: str) -> None:
+    from image_caption_tpu.metrics.cider import precook
+
+    df = defaultdict(float)
+    n_docs = 0
+    for captions in iter_caption_groups(src):
+        n_docs += 1
+        seen = set()
+        for c in captions:
+            seen.update(precook(c, 4).keys())
+        for g in seen:
+            df[g] += 1.0
+
+    blob = {"document_frequency": dict(df),
+            "ref_len": float(np.log(max(n_docs, 1)))}
+    with open(dst, "wb") as f:
+        pickle.dump(blob, f, pickle.HIGHEST_PROTOCOL)
+    print(f"wrote df over {n_docs} documents ({len(df)} n-grams) to {dst}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
