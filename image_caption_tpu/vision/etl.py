@@ -115,14 +115,19 @@ def extract_split_features(image_paths: Sequence[str], *,
                            batch_size: int = 64,
                            num_workers: int = 8,
                            num_position_dims: int = 84,
+                           image_model: str = "YOLOv5",
                            verbose: bool = True
                            ) -> Tuple[np.ndarray, np.ndarray]:
     """All images of a split -> ([N, S, 2048], [N, S, P]) arrays."""
     import jax.numpy as jnp
-    from .pipeline import extract_features_batch, load_extractor
+    from .pipeline import (extract_features_batch, extract_features_frcnn,
+                           load_extractor, load_frcnn_extractor)
 
+    frcnn = image_model == "FasterRCNN"
+    canvas_size = 800 if frcnn else 640
     if extractor_params is None:
-        extractor_params = load_extractor(weights_dir)
+        extractor_params = (load_frcnn_extractor(weights_dir) if frcnn
+                            else load_extractor(weights_dir))
 
     n = len(image_paths)
     s = num_objects + 1
@@ -133,7 +138,8 @@ def extract_split_features(image_paths: Sequence[str], *,
     try:
         for start in range(0, n, batch_size):
             paths = image_paths[start:start + batch_size]
-            loaded = list(pool.map(_load_letterboxed, paths))
+            loaded = list(pool.map(
+                lambda p: _load_letterboxed(p, canvas_size), paths))
             real = len(loaded)
             canvases = np.stack([c for c, _, _ in loaded])
             metas = np.stack([m for _, m, _ in loaded])
@@ -146,10 +152,16 @@ def extract_split_features(image_paths: Sequence[str], *,
                                         np.repeat(metas[:1], reps, 0)])
                 sizes = np.concatenate([sizes,
                                         np.repeat(sizes[:1], reps, 0)])
-            feats, poss, _ = extract_features_batch(
-                extractor_params, jnp.asarray(canvases),
-                jnp.asarray(metas), jnp.asarray(sizes),
-                num_objects=num_objects, max_obj=max_obj)
+            if frcnn:
+                feats, poss, _ = extract_features_frcnn(
+                    extractor_params, jnp.asarray(canvases),
+                    jnp.asarray(metas), jnp.asarray(sizes),
+                    num_objects=num_objects, canvas=canvas_size)
+            else:
+                feats, poss, _ = extract_features_batch(
+                    extractor_params, jnp.asarray(canvases),
+                    jnp.asarray(metas), jnp.asarray(sizes),
+                    num_objects=num_objects, max_obj=max_obj)
             all_feats[start:start + real] = np.asarray(feats)[:real]
             all_pos[start:start + real] = \
                 np.asarray(poss)[:real, :, :num_position_dims]
@@ -216,8 +228,10 @@ def run_etl(cfg: Config, *, coco_root: str,
         records_by_split["test"] = test_records
 
     word_index = None
-    from .pipeline import load_extractor
-    extractor = load_extractor(weights_dir)
+    from .pipeline import load_extractor, load_frcnn_extractor
+    extractor = (load_frcnn_extractor(weights_dir)
+                 if d.image_model == "FasterRCNN"
+                 else load_extractor(weights_dir))
 
     for split in splits:
         records = records_by_split[split]
@@ -249,7 +263,7 @@ def run_etl(cfg: Config, *, coco_root: str,
         feats, poss = extract_split_features(
             list(file_names), extractor_params=extractor,
             num_objects=cfg.model.num_objects, max_obj=d.max_obj,
-            batch_size=batch_size,
+            batch_size=batch_size, image_model=d.image_model,
             num_position_dims=cfg.model.dim_positions)
         save_hkl(feats, os.path.join(out_dir, f"{split}.features.hkl"))
         save_hkl(poss, os.path.join(out_dir, f"{split}.positions.hkl"))

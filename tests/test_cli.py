@@ -1,0 +1,55 @@
+"""CLI surface tests: parser construction, overrides, preset wiring."""
+
+import pytest
+
+from image_caption_tpu.main import _parse_overrides, build_parser, _load_config
+
+
+def test_parse_overrides_types():
+    out = _parse_overrides(["train.batch_size=64", "model.dropout=0.1",
+                            "model.encode_mask=true",
+                            "data.image_model=FasterRCNN"])
+    assert out == {"train.batch_size": 64, "model.dropout": 0.1,
+                   "model.encode_mask": True,
+                   "data.image_model": "FasterRCNN"}
+
+
+def test_parse_overrides_rejects_bad_pair():
+    with pytest.raises(SystemExit):
+        _parse_overrides(["no_equals_sign"])
+
+
+def test_load_config_applies_overrides():
+    p = build_parser()
+    args = p.parse_args([
+        "--preset", "maxlen49_64", "--set", "model.num_vocab=99",
+        "--set", "train.learning_rate=0.001",
+        "--data-path", "/tmp/x", "--output-path", "/tmp/y",
+        "train", "--epochs", "2"])
+    cfg = _load_config(args)
+    assert cfg.model.num_vocab == 99
+    assert cfg.train.learning_rate == 0.001
+    assert cfg.data.data_path == "/tmp/x"
+    assert cfg.data.output_path == "/tmp/y"
+    assert args.epochs == 2
+
+
+def test_all_subcommands_parse():
+    p = build_parser()
+    for argv in (
+            ["train"],
+            ["evaluation", "--split", "test", "--epoch", "3",
+             "--beam-size", "5"],
+            ["demo", "--image-path", "x.jpg", "--save-img"],
+            ["features", "--coco-root", "/data"],
+    ):
+        args = p.parse_args(argv)
+        assert callable(args.fn)
+
+
+def test_unknown_preset_lists_options():
+    p = build_parser()
+    args = p.parse_args(["--preset", "nope", "train"])
+    with pytest.raises(KeyError) as e:
+        _load_config(args)
+    assert "maxlen49_64" in str(e.value)
