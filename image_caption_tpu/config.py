@@ -221,18 +221,130 @@ register_preset(Config(
                         encode_mask=True, split_image_objects=False),
 ))
 
+# core/config.py:165-196 — structure-loss weight 0.7
+register_preset(Config(
+    name="RL_maxlen49_36obj_1wordCount_256_25b_32h_move_2",
+    caption_model="RL_Transformer",
+    model=_d256_25b_32h(move_first_image_feature=True,
+                        encode_mask=True, split_image_objects=False),
+    rl=RLConfig(structure_loss_weight=0.7),
+))
+
+# core/config.py:198-222
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_20conf_256_25b_32h_move",
+    caption_model="Transformer",
+    model=_d256_25b_32h(move_first_image_feature=True,
+                        encode_mask=True, split_image_objects=False),
+))
+
+# core/config.py:249-272
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_256_25b_32h_RL",
+    caption_model="RL_Transformer",
+    model=_d256_25b_32h(move_first_image_feature=True,
+                        encode_mask=False, split_image_objects=False),
+))
+
+# core/config.py:299-324 — the block asserts MOVE_FIRST (model.py quirk)
 register_preset(Config(
     name="maxlen49_36obj_1wordCount_256_25b_32h_EncoderMask",
+    caption_model="Transformer",
+    model=_d256_25b_32h(move_first_image_feature=True,
+                        encode_mask=True, split_image_objects=False),
+))
+
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_256_25b_32h_FocalLoss",
+    caption_model="Transformer",
+    model=_d256_25b_32h(xe_loss="focal", move_first_image_feature=True,
+                        encode_mask=False, split_image_objects=False),
+))
+
+# core/config.py:273-297 — both SplitPosition variants assert MOVE_FIRST
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_256_25b_32h_FocalLoss_SplitPosition",
+    caption_model="Transformer",
+    model=_d256_25b_32h(xe_loss="focal", split_position=True,
+                        move_first_image_feature=True,
+                        encode_mask=False, split_image_objects=False),
+))
+
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_256_25b_32h_SplitPosition",
+    caption_model="Transformer",
+    model=_d256_25b_32h(split_position=True, move_first_image_feature=True,
+                        encode_mask=False, split_image_objects=False),
+))
+
+# core/config.py:350-375
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_256_25b_32h_move",
+    caption_model="Transformer",
+    model=_d256_25b_32h(move_first_image_feature=True,
+                        encode_mask=False, split_image_objects=False),
+))
+
+# core/config.py:425-449 — 6 encoder + 6 decoder blocks
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_256_66b_32h",
+    caption_model="Transformer",
+    model=_d256_25b_32h(encode_num_blocks=6, decode_num_blocks=6,
+                        encode_mask=False, split_image_objects=False),
+))
+
+# core/config.py:450-475
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_256_25b_32h_mask",
     caption_model="Transformer",
     model=_d256_25b_32h(encode_mask=True, split_image_objects=False),
 ))
 
 register_preset(Config(
-    name="maxlen49_36obj_1wordCount_256_25b_32h_FocalLoss_SplitPosition",
+    name="maxlen49_36obj_1wordCount_256_25b_32h_NoBias",
     caption_model="Transformer",
-    model=_d256_25b_32h(xe_loss="focal", split_position=True,
-                        encode_mask=False, split_image_objects=False),
+    model=_d256_25b_32h(encode_mask=False, split_image_objects=False),
 ))
+
+
+def _d128_14b_16h(**kw) -> ModelConfig:
+    """128-wide enc1/dec4 family, FFN 256 (core/config.py:476-500,526-552)."""
+    base = dict(
+        encode_input_size=128, encode_q_k_dim=128, encode_v_dim=128,
+        encode_hidden_size=256, encode_num_blocks=1, encode_num_heads=16,
+        dim_word_embedding=256, decode_input_size=128, decode_q_k_dim=128,
+        decode_v_dim=128, decode_hidden_size=256, decode_num_blocks=4,
+        decode_num_heads=16, split_image_objects=False)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+register_preset(Config(
+    name="maxlen49_36obj_1wordCount_128_14b_16h_mask",
+    caption_model="Transformer",
+    model=_d128_14b_16h(encode_mask=True),
+))
+
+# core/config.py:501-525 — NUM_OBJECT = 20
+register_preset(Config(
+    name="maxlen49_20obj_128_25b_32h",
+    caption_model="Transformer",
+    model=ModelConfig(
+        num_objects=20, encode_mask=False, split_image_objects=False,
+        encode_input_size=64, encode_q_k_dim=128, encode_v_dim=128,
+        encode_hidden_size=128, encode_num_blocks=2, encode_num_heads=32,
+        dim_word_embedding=256, decode_input_size=64, decode_q_k_dim=128,
+        decode_v_dim=128, decode_hidden_size=128, decode_num_blocks=5,
+        decode_num_heads=32),
+))
+
+for _name, _mask in (("maxlen49_20obj_128_14b_16h", False),
+                     ("maxlen49_20obj_128_14b_16h_mask", True),
+                     ("maxlen49_20obj_128_14b_16h_mask_slower", True)):
+    register_preset(Config(
+        name=_name, caption_model="Transformer",
+        model=_d128_14b_16h(num_objects=20, encode_mask=_mask),
+    ))
 
 register_preset(Config(
     name="maxlen49_36obj_1wordCount_128_24b_8h_SplitPosition",
@@ -303,4 +415,42 @@ register_preset(Config(
         dim_word_embedding=128, decode_input_size=64, decode_q_k_dim=128,
         decode_v_dim=128, decode_hidden_size=128, decode_num_blocks=4,
         decode_num_heads=4),
+))
+
+# core/config.py:601-695 — remaining tiny experiment blocks
+register_preset(Config(
+    name="maxlen49_128_14b",
+    caption_model="Transformer",
+    model=ModelConfig(
+        encode_mask=False, split_image_objects=False,
+        encode_input_size=128, encode_q_k_dim=128, encode_v_dim=128,
+        encode_hidden_size=128, encode_num_blocks=1, encode_num_heads=4,
+        dim_word_embedding=128, decode_input_size=128, decode_q_k_dim=128,
+        decode_v_dim=128, decode_hidden_size=128, decode_num_blocks=4,
+        decode_num_heads=4),
+))
+
+register_preset(Config(
+    name="maxlen49_256_13b",
+    caption_model="Transformer",
+    model=ModelConfig(
+        encode_mask=False, split_image_objects=False,
+        encode_input_size=128, encode_q_k_dim=256, encode_v_dim=256,
+        encode_hidden_size=128, encode_num_blocks=1, encode_num_heads=4,
+        dim_word_embedding=128, decode_input_size=128, decode_q_k_dim=256,
+        decode_v_dim=256, decode_hidden_size=128, decode_num_blocks=3,
+        decode_num_heads=4),
+))
+
+register_preset(Config(
+    name="maxlen49_128_14b_8h",
+    caption_model="Transformer",
+    model=_d128_14b_16h(encode_mask=False, encode_num_heads=8,
+                        decode_num_heads=8),
+))
+
+register_preset(Config(
+    name="maxlen49_128_14b_16h",
+    caption_model="Transformer",
+    model=_d128_14b_16h(encode_mask=False),
 ))

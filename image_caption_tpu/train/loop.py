@@ -90,6 +90,39 @@ class Trainer:
         return {k: float(v) for k, v in
                 self._eval_step(self.state.params, batch).items()}
 
+    def generate_caption(self, features, positions,
+                         idx_to_word: Dict[int, str], *,
+                         beam_size: Optional[int] = None,
+                         return_attention: bool = False):
+        """MODEL_init.generate_caption parity (core/models.py:34-60):
+        greedy for beam_size in (None, 1), beam search for > 1; returns
+        (caption strings, attention-or-None)."""
+        from ..data.vocab import decode_captions
+        from ..models.decoding import beam_search, greedy_decode
+        assert beam_size is None or beam_size >= 1, beam_size
+        if beam_size is None or beam_size == 1:
+            tokens, attention = greedy_decode(
+                self.state.params, self.cfg.model, features, positions,
+                return_attention=return_attention)
+        else:
+            tokens = beam_search(self.state.params, self.cfg.model,
+                                 features, positions, beam_size=beam_size,
+                                 score_mode="prob")
+            attention = None
+        caps = decode_captions(np.asarray(tokens), idx_to_word)
+        return caps, attention
+
+    def preprocess(self, image_path: str, *, max_obj: Optional[int] = None,
+                   weights_dir: Optional[str] = None):
+        """MODEL_init.preprocess parity (core/models.py:70-78): single
+        image -> (features, positions, boxes) via the configured
+        IMAGE_MODEL."""
+        from ..vision.pipeline import extract_single_image
+        return extract_single_image(
+            image_path, image_model=self.cfg.data.image_model,
+            num_objects=self.cfg.model.num_objects, max_obj=max_obj,
+            weights_dir=weights_dir)
+
     @property
     def metric_keys(self):
         return ["loss"]          # WRITE_LOG for XE (core/config.py:65-66)

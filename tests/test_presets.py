@@ -1,0 +1,79 @@
+"""Preset registry covers every reference OUTPUT_NAME block
+(core/config.py:71-695) and each preset's model builds."""
+
+import jax
+import pytest
+
+from image_caption_tpu.config import get_preset, list_presets
+
+# every named experiment in the reference's config (core/config.py:71-695)
+REFERENCE_BLOCKS = [
+    "RL_maxlen49_36obj_1wordCount_256_25b_32h_split_img_obj",
+    "maxlen49_36obj_1wordCount_256_25b_32h_split_img_obj",
+    "RL_maxlen49_36obj_1wordCount_256_25b_32h_move",
+    "RL_maxlen49_36obj_1wordCount_256_25b_32h_move_2",
+    "maxlen49_36obj_1wordCount_20conf_256_25b_32h_move",
+    "maxlen49_36obj_1wordCount_128_24b_8h_SplitPosition",
+    "maxlen49_36obj_1wordCount_256_25b_32h_RL",
+    "maxlen49_36obj_1wordCount_256_25b_32h_FocalLoss_SplitPosition",
+    "maxlen49_36obj_1wordCount_256_25b_32h_SplitPosition",
+    "maxlen49_36obj_1wordCount_256_25b_32h_EncoderMask",
+    "maxlen49_36obj_1wordCount_256_25b_32h_FocalLoss",
+    "maxlen49_36obj_1wordCount_move_3",
+    "maxlen49_36obj_1wordCount_256_25b_32h_move",
+    "maxlen49_36obj_1wordCount_1024_25b_32h_mask",
+    "maxlen49_36obj_1wordCount_frcnn_256_25b_32h",
+    "maxlen49_36obj_1wordCount_256_66b_32h",
+    "maxlen49_36obj_1wordCount_256_25b_32h_mask",
+    "maxlen49_36obj_1wordCount_256_25b_32h_NoBias",
+    "maxlen49_36obj_1wordCount_128_14b_16h_mask",
+    "maxlen49_20obj_128_25b_32h",
+    "maxlen49_20obj_128_14b_16h",
+    "maxlen49_20obj_128_14b_16h_mask",
+    "maxlen49_20obj_128_14b_16h_mask_slower",
+    "maxlen49_64",
+    "maxlen49_128",
+    "maxlen49_128_14b",
+    "maxlen49_256_13b",
+    "maxlen49_128_14b_8h",
+    "maxlen49_128_14b_16h",
+]
+
+
+def test_every_reference_block_has_a_preset():
+    names = set(list_presets())
+    missing = [b for b in REFERENCE_BLOCKS if b not in names]
+    assert not missing, missing
+
+
+def test_flag_asserts_match_reference():
+    """Spot-check the asserted flag combinations (core/config.py)."""
+    p = get_preset("RL_maxlen49_36obj_1wordCount_256_25b_32h_move_2")
+    assert p.caption_model == "RL_Transformer"
+    assert p.model.move_first_image_feature and p.model.encode_mask
+    assert p.rl.structure_loss_weight == 0.7          # config.py:174
+
+    p = get_preset("maxlen49_36obj_1wordCount_256_25b_32h_SplitPosition")
+    assert p.model.split_position and p.model.move_first_image_feature
+
+    p = get_preset("maxlen49_20obj_128_25b_32h")
+    assert p.model.num_objects == 20                  # config.py:502
+    assert p.model.num_slots == 21
+
+    p = get_preset("maxlen49_36obj_1wordCount_frcnn_256_25b_32h")
+    assert p.model.dim_positions == 95                # 4 + 91
+    assert p.data.image_model == "FasterRCNN"
+
+    p = get_preset("maxlen49_36obj_1wordCount_256_66b_32h")
+    assert p.model.encode_num_blocks == 6
+    assert p.model.decode_num_blocks == 6
+
+
+@pytest.mark.parametrize("name", sorted(set(REFERENCE_BLOCKS)))
+def test_preset_model_inits(name):
+    """Every preset's param tree builds (shrunk vocab for speed)."""
+    from image_caption_tpu.models.captioner import init_captioner
+    cfg = get_preset(name).with_overrides(**{"model.num_vocab": 16})
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    assert "encoder" in params and "decoder" in params
+    assert len(params["decoder"]["blocks"]) == cfg.model.decode_num_blocks
