@@ -87,7 +87,7 @@ def _position_rows(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 @partial(jax.jit,
          static_argnames=("num_objects", "cap_half", "max_obj",
-                          "num_classes", "crop_size"))
+                          "num_classes", "crop_size", "compute_dtype"))
 def extract_features_batch(params: ExtractorParams,
                            canvases: jnp.ndarray,
                            metas: jnp.ndarray,
@@ -96,7 +96,8 @@ def extract_features_batch(params: ExtractorParams,
                            cap_half: bool = True,
                            max_obj: Optional[int] = None,
                            num_classes: int = 80,
-                           crop_size: int = 224
+                           crop_size: int = 224,
+                           compute_dtype=jnp.bfloat16
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The whole pipeline for a batch.
 
@@ -104,7 +105,9 @@ def extract_features_batch(params: ExtractorParams,
     metas     [B, 3] (scale, top, left) from ``letterbox_image``;
     orig_sizes[B, 2] (h, w) original pixels.
     Returns (features [B, S, 2048], positions [B, S, 4+C], xyxy [B, K, 4])
-    with S = num_objects + 1.
+    with S = num_objects + 1.  ``compute_dtype`` defaults to bfloat16 —
+    vision backbones are insensitive to it and the MXU runs 2x faster;
+    pass float32 for bit-fidelity studies.
     """
     b = canvases.shape[0]
     s = num_objects + 1
@@ -113,7 +116,8 @@ def extract_features_batch(params: ExtractorParams,
     from .yolov5 import stem_is_focus
     det: Detections = yolov5_detect(params.yolo, canvases / 255.0,
                                     max_det=k, num_classes=num_classes,
-                                    focus_stem=stem_is_focus(params.yolo))
+                                    focus_stem=stem_is_focus(params.yolo),
+                                    compute_dtype=compute_dtype)
     valid = det.valid
     if cap_half:
         # reference keeps only num_obj // 2 detections
@@ -147,7 +151,9 @@ def extract_features_batch(params: ExtractorParams,
     crops = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
     flat = crops.reshape(b * (1 + k), crop_size, crop_size, 3)
-    feats = resnet_features(params.resnet, flat).reshape(b, 1 + k, -1)
+    feats = resnet_features(params.resnet, flat,
+                            compute_dtype=compute_dtype
+                            ).reshape(b, 1 + k, -1)
 
     slot_valid = jnp.concatenate(
         [jnp.ones((b, 1), bool), valid], axis=1)  # [B, 1+K]

@@ -267,16 +267,18 @@ def decode_predictions(params: Params,
 
 
 @partial(jax.jit, static_argnames=("max_det", "conf_thres", "iou_thres",
-                                   "num_classes", "focus_stem"))
+                                   "num_classes", "focus_stem",
+                                   "compute_dtype"))
 def yolov5_detect(params: Params, images: jnp.ndarray, *,
                   conf_thres: float = 0.01, iou_thres: float = 0.45,
                   max_det: int = 36, num_classes: int = 80,
-                  focus_stem: bool = False) -> Detections:
+                  focus_stem: bool = False,
+                  compute_dtype=jnp.float32) -> Detections:
     """Batched detect: [B,S,S,3] in [0,1] -> Detections (leading dim B).
 
     Reference thresholds: conf 0.01 / iou 0.45
     (detect_for_preprocess.py:28-29)."""
-    raw = yolov5_raw(params, images, focus_stem=focus_stem)
+    raw = yolov5_raw(params, images, compute_dtype, focus_stem=focus_stem)
     preds = decode_predictions(params, raw, num_classes=num_classes)
     return jax.vmap(lambda p: yolo_postprocess(
         p, num_classes=num_classes, iou_thres=iou_thres,
