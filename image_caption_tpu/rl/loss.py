@@ -117,11 +117,36 @@ def structure_loss(logprobs: jnp.ndarray, sample_seq: jnp.ndarray,
     return {"loss": loss, "reward": jnp.mean(reward_out)}
 
 
-def rl_composite_loss(params, cfg: Config, batch, reward_callback, *,
+def rl_sample_sequence(params, cfg: Config, batch, *,
+                       rng: Optional[jax.Array] = None,
+                       deterministic: bool = True) -> jnp.ndarray:
+    """Phase 1 of the callback-free RL step: the sampled sequence only.
+
+    Must be driven with the SAME rng as the update phase so dropout and
+    categorical sampling reproduce bit-identically there."""
+    features, positions, captions = batch
+    drop_rng = sample_rng = None
+    if rng is not None:
+        drop_rng, sample_rng = jax.random.split(rng)
+    logits = captioner_logits(params, cfg.model, features, positions,
+                              captions, rng=drop_rng,
+                              deterministic=deterministic)
+    seq, _ = sample_from_logits(logits, sample_rng, cfg.rl.sample_mode)
+    return seq
+
+
+def rl_composite_loss(params, cfg: Config, batch, reward_callback=None, *,
+                      rewards: Optional[jnp.ndarray] = None,
+                      self_cider: Optional[jnp.ndarray] = None,
                       rng: Optional[jax.Array] = None,
                       deterministic: bool = True
                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Full RL loss (loss.py:52-76).  Returns (loss, WRITE_LOG metrics)."""
+    """Full RL loss (loss.py:52-76).  Returns (loss, WRITE_LOG metrics).
+
+    Rewards come either from ``reward_callback`` (jax.pure_callback inside
+    the step — preferred where the runtime supports host callbacks) or as
+    precomputed ``rewards``/``self_cider`` arrays (two-phase mode for
+    runtimes without host callbacks, e.g. axon_pjrt)."""
     features, positions, captions = batch
     drop_rng = sample_rng = None
     if rng is not None:
@@ -141,7 +166,9 @@ def rl_composite_loss(params, cfg: Config, batch, reward_callback, *,
     if w > 0:
         sample_seq, logprobs = sample_from_logits(logits, sample_rng,
                                                   cfg.rl.sample_mode)
-        rewards, self_cider = reward_callback(sample_seq, target)
+        if rewards is None:
+            assert reward_callback is not None
+            rewards, self_cider = reward_callback(sample_seq, target)
         rewards = jax.lax.stop_gradient(rewards)
         self_cider = jax.lax.stop_gradient(self_cider)
         st = structure_loss(

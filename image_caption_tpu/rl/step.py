@@ -21,13 +21,26 @@ from ..train.state import TrainState, make_optimizer, zero_pad_embedding_grad
 from .loss import rl_composite_loss
 
 
+def backend_supports_callbacks() -> bool:
+    """Probe whether the active backend implements host callbacks —
+    axon_pjrt (the tunneled TPU runtime) does not."""
+    try:
+        out = jax.jit(lambda x: jax.pure_callback(
+            lambda y: y, jax.ShapeDtypeStruct((), jnp.float32), x))(
+                jnp.float32(1.0))
+        return float(out) == 1.0
+    except Exception:
+        return False
+
+
 def rl_train_step(state: TrainState, batch, rng, *, cfg: Config, tx,
-                  reward_callback
+                  reward_callback=None, rewards=None, self_cider=None
                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     step_rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(p):
         return rl_composite_loss(p, cfg, batch, reward_callback,
+                                 rewards=rewards, self_cider=self_cider,
                                  rng=step_rng, deterministic=False)
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -74,3 +87,85 @@ def compile_rl_eval_step(cfg: Config, mesh: Mesh, state: TrainState,
                            reward_callback=reward_callback)
     return jax.jit(fn, in_shardings=(state_sh.params, batch_sh),
                    out_shardings=metric_sh)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase mode (runtimes without host callbacks, e.g. axon_pjrt)
+# ---------------------------------------------------------------------------
+
+def compile_rl_sample_step(cfg: Config, mesh: Mesh, state: TrainState):
+    """Phase 1: jitted sampled-sequence computation.  ``fn(params, batch,
+    rng, step) -> sample_seq [B, T-1] int32``."""
+    from ..rl.loss import rl_sample_sequence
+    from ..train.step import _state_shardings
+    state_sh = _state_shardings(mesh, state)
+    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    repl = NamedSharding(mesh, P())
+
+    def fn(params, batch, rng, step):
+        step_rng = jax.random.fold_in(rng, step)
+        return rl_sample_sequence(params, cfg, batch, rng=step_rng,
+                                  deterministic=False)
+
+    return jax.jit(fn, in_shardings=(state_sh.params, batch_sh, repl, repl),
+                   out_shardings=pmesh.data_sharding(mesh))
+
+
+def compile_rl_train_step_two_phase(cfg: Config, mesh: Mesh,
+                                    state: TrainState, donate: bool = True):
+    """Phase 2: jitted update taking host-computed rewards as inputs.
+    ``fn(state, batch, rewards, self_cider, rng) -> (state, metrics)``."""
+    from ..train.step import _state_shardings
+    tx = make_optimizer(cfg.train.learning_rate)
+    state_sh = _state_shardings(mesh, state)
+    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    data_sh = pmesh.data_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    metric_sh = {k: repl for k in ("loss", "language_model_loss",
+                                   "structure_loss", "reward")}
+
+    def fn(state, batch, rewards, self_cider, rng):
+        return rl_train_step(state, batch, rng, cfg=cfg, tx=tx,
+                             rewards=rewards, self_cider=self_cider)
+
+    return jax.jit(fn,
+                   in_shardings=(state_sh, batch_sh, data_sh, data_sh, repl),
+                   out_shardings=(state_sh, metric_sh),
+                   donate_argnums=(0,) if donate else ())
+
+
+def compile_rl_eval_step_two_phase(cfg: Config, mesh: Mesh,
+                                   state: TrainState):
+    from ..train.step import _state_shardings
+    state_sh = _state_shardings(mesh, state)
+    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    data_sh = pmesh.data_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    metric_sh = {k: repl for k in ("loss", "language_model_loss",
+                                   "structure_loss", "reward")}
+
+    def fn(params, batch, rewards, self_cider):
+        _, metrics = rl_composite_loss(params, cfg, batch, rewards=rewards,
+                                       self_cider=self_cider, rng=None,
+                                       deterministic=True)
+        return metrics
+
+    return jax.jit(fn,
+                   in_shardings=(state_sh.params, batch_sh, data_sh,
+                                 data_sh),
+                   out_shardings=metric_sh)
+
+
+def compile_rl_sample_step_eval(cfg: Config, mesh: Mesh, state: TrainState):
+    """Deterministic phase-1 sampler for eval (no dropout)."""
+    from ..rl.loss import rl_sample_sequence
+    from ..train.step import _state_shardings
+    state_sh = _state_shardings(mesh, state)
+    batch_sh = (pmesh.data_sharding(mesh),) * 3
+
+    def fn(params, batch):
+        return rl_sample_sequence(params, cfg, batch, rng=None,
+                                  deterministic=True)
+
+    return jax.jit(fn, in_shardings=(state_sh.params, batch_sh),
+                   out_shardings=pmesh.data_sharding(mesh))

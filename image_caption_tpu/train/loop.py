@@ -136,7 +136,13 @@ class RLTrainer(Trainer):
                  mesh=None, rng: Optional[jax.Array] = None):
         from ..rl.loss import make_reward_callback
         from ..rl.rewards import RewardComputer
-        from ..rl.step import compile_rl_eval_step, compile_rl_train_step
+        from ..rl.step import (backend_supports_callbacks,
+                               compile_rl_eval_step,
+                               compile_rl_eval_step_two_phase,
+                               compile_rl_sample_step,
+                               compile_rl_sample_step_eval,
+                               compile_rl_train_step,
+                               compile_rl_train_step_two_phase)
 
         self.cfg = cfg
         self.mesh = mesh or pmesh.make_mesh(
@@ -150,11 +156,63 @@ class RLTrainer(Trainer):
             cider_reward_weight=cfg.rl.cider_reward_weight,
             bleu_reward_weight=cfg.rl.bleu_reward_weight,
             self_cider_reward_weight=cfg.rl.self_cider_reward_weight)
-        callback = make_reward_callback(self.reward_computer)
-        self._train_step = compile_rl_train_step(cfg, self.mesh, self.state,
-                                                 callback)
-        self._eval_step = compile_rl_eval_step(cfg, self.mesh, self.state,
-                                               callback)
+
+        # single-program mode needs runtime host-callback support; the
+        # tunneled axon_pjrt runtime lacks it -> two-phase mode (sample on
+        # device, score on host, update with rewards as inputs)
+        self._two_phase = not backend_supports_callbacks()
+        if self._two_phase:
+            self._sample_step = compile_rl_sample_step(cfg, self.mesh,
+                                                       self.state)
+            self._sample_step_eval = compile_rl_sample_step_eval(
+                cfg, self.mesh, self.state)
+            self._update_step = compile_rl_train_step_two_phase(
+                cfg, self.mesh, self.state)
+            self._eval_step_2p = compile_rl_eval_step_two_phase(
+                cfg, self.mesh, self.state)
+        else:
+            callback = make_reward_callback(self.reward_computer)
+            self._train_step = compile_rl_train_step(cfg, self.mesh,
+                                                     self.state, callback)
+            self._eval_step = compile_rl_eval_step(cfg, self.mesh,
+                                                   self.state, callback)
+
+    def _host_rewards(self, sample_seq, captions):
+        import numpy as np
+        target = np.asarray(captions)[:, 1:]
+        rewards = self.reward_computer.structure_scores(
+            np.asarray(sample_seq), target)
+        self_cider = self.reward_computer.self_cider_scores(
+            np.asarray(sample_seq))
+        return rewards, self_cider
+
+    def train_step_device(self, batch):
+        if not self._two_phase:
+            return super().train_step_device(batch)
+        seq = self._sample_step(self.state.params, batch, self.step_rng,
+                                self.state.step)
+        rewards, self_cider = self._host_rewards(seq, batch[2])
+        self.state, metrics = self._update_step(
+            self.state, batch, pmesh.shard_batch(self.mesh, rewards),
+            pmesh.shard_batch(self.mesh, self_cider), self.step_rng)
+        return metrics
+
+    def train_step(self, features, positions, captions):
+        batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
+        metrics = self.train_step_device(batch)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def compute_loss(self, features, positions, captions):
+        batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
+        if not self._two_phase:
+            return {k: float(v) for k, v in
+                    self._eval_step(self.state.params, batch).items()}
+        seq = self._sample_step_eval(self.state.params, batch)
+        rewards, self_cider = self._host_rewards(seq, batch[2])
+        metrics = self._eval_step_2p(
+            self.state.params, batch, pmesh.shard_batch(self.mesh, rewards),
+            pmesh.shard_batch(self.mesh, self_cider))
+        return {k: float(v) for k, v in metrics.items()}
 
     @property
     def metric_keys(self):
