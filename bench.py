@@ -23,8 +23,8 @@ import numpy as np
 PER_CHIP_TARGET = 500.0 / 8.0   # north-star v5e-8 target, per chip
 BATCH = 128
 BEAM = 3
-WARMUP = 2
-ITERS = 5
+WARMUP = 3
+ITERS = 10
 
 
 def main() -> None:

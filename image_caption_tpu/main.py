@@ -51,6 +51,15 @@ def _load_config(args) -> Config:
 def cmd_train(args) -> None:
     from .train.loop import train
     cfg = _load_config(args)
+    if args.debug_nans:
+        from .utils.debug import enable_nan_debugging
+        enable_nan_debugging(True)
+    if args.profile:
+        import jax
+        from .utils.debug import trace
+        with trace(os.path.join(cfg.data.output_path, "profile")):
+            train(cfg, num_epochs=args.epochs, resume=not args.no_resume)
+        return
     train(cfg, num_epochs=args.epochs, resume=not args.no_resume)
 
 
@@ -171,6 +180,10 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train")
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--no-resume", action="store_true")
+    t.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the run")
+    t.add_argument("--debug-nans", action="store_true",
+                   help="raise on NaN inside jitted code (slow)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluation")

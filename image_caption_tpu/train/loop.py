@@ -264,8 +264,10 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
     fixed_valid = next(iter(valid_batches))[:3]
 
     from ..data.prefetch import Prefetcher
+    from ..utils.debug import StepTimer
 
     global_it = 0
+    timer = StepTimer()
     for epoch in range(start_epoch, num_epochs + 1):
         t0 = time.time()
         # background thread assembles + device_puts batches ahead of the
@@ -276,6 +278,7 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
                                                      item[:3]))
         for batch in prefetched:
             trainer.train_step_device(batch)
+            timer.step()
             global_it += 1
 
             if global_it % t.log_every == 0:
@@ -324,9 +327,11 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
         if epoch % t.checkpoint_every_epochs == 0:
             ckpt.save(epoch, jax.device_get(trainer.state))
         if verbose:
+            sps = timer.steps_per_sec
             print(f"[epoch {epoch}] train_loss={train_loss['loss']:.4f} "
                   f"valid_loss={valid_loss['loss']:.4f} "
-                  f"({time.time() - t0:.1f}s)")
+                  f"({time.time() - t0:.1f}s"
+                  + (f", {sps:.1f} steps/s" if sps else "") + ")")
         writer.flush()
 
     ckpt.close()
