@@ -54,10 +54,12 @@ def main() -> None:
     for _ in range(WARMUP):
         run()
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         run()
-    dt = (time.perf_counter() - t0) / ITERS
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]   # median: the tunnel adds jitter
 
     captions_per_sec = BATCH / dt
     print(json.dumps({

@@ -425,12 +425,21 @@ def beam_search(params: Params, cfg: ModelConfig,
         token_t = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=2)[..., 0]
         logits, cache = decoder_step_beam(params, cfg, token_t, t, cache,
                                           cross_kv, cross_neg, enc_bk)
-        p = scorefn(logits)                            # [B, K, V]
-        combined = p + scores[..., None]
+        # top-k directly on logits: softmax/log_softmax are monotonic and
+        # the running score is a per-row constant, so the ranking is
+        # unchanged — this avoids materializing the [B,K,V] probability
+        # tensor (the dominant HBM traffic at large batch).  The top-k
+        # VALUES are then normalized with one logsumexp reduction.
+        local_l, local_i = jax.lax.top_k(logits, k)    # [B, K, K]
+        lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        if score_mode == "prob":
+            local_s = jnp.exp(local_l - lse)           # softmax(top-k)
+        else:
+            local_s = local_l - lse                    # log_softmax(top-k)
+        combined = local_s + scores[..., None]
         # two-stage top-k (exact): the global top-K over K*V can only use
         # each beam's own top-K tokens
-        local_s, local_i = jax.lax.top_k(combined, k)  # [B, K, K]
-        new_scores, idx = jax.lax.top_k(local_s.reshape(b, k * k), k)
+        new_scores, idx = jax.lax.top_k(combined.reshape(b, k * k), k)
         beam_idx = idx // k
         new_tok = jnp.take_along_axis(
             local_i.reshape(b, k * k), idx, axis=1).astype(jnp.int32)
