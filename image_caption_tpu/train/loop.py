@@ -267,9 +267,9 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
     from ..utils.debug import StepTimer
 
     global_it = 0
-    timer = StepTimer()
     for epoch in range(start_epoch, num_epochs + 1):
         t0 = time.time()
+        timer = StepTimer()
         # background thread assembles + device_puts batches ahead of the
         # (async-dispatched) train step
         prefetched = Prefetcher(
