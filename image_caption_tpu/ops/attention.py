@@ -251,7 +251,10 @@ def sdp_attention(q, k, v, mask, temperature, *,
     """
     dropout_active = (not deterministic and dropout_rate > 0.0
                       and rng is not None)
-    if use_pallas and not need_weights and not dropout_active:
+    # pallas TPU kernels don't lower on the CPU backend, and the failure
+    # surfaces at jit-lowering time where a try/except can't catch it
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas and on_tpu and not need_weights and not dropout_active:
         try:
             b, lq = q.shape[0], q.shape[2]
             lk = k.shape[2]

@@ -84,3 +84,31 @@ def test_checkpoint_roundtrip(cfg):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     mgr.close()
+
+
+@pytest.mark.slow
+def test_train_resume_from_latest(cfg):
+    """train() twice: the second run resumes from the saved epoch
+    (SURVEY.md §5 checkpoint/resume — the reference restarts Adam and
+    always begins at epoch 1)."""
+    import io
+    from contextlib import redirect_stdout
+    from image_caption_tpu.train.loop import train
+    from image_caption_tpu.train.checkpoint import CheckpointManager
+
+    cfg2 = cfg.with_overrides(**{
+        "data.output_path": cfg.data.output_path + "_resume",
+        "train.log_every": 1000, "train.sample_every": 1000})
+    state = train(cfg2, num_epochs=1, verbose=False)
+    assert int(state.step) > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        state2 = train(cfg2, num_epochs=2, resume=True, verbose=True)
+    assert "[train] resumed from epoch 1" in buf.getvalue()
+    assert int(state2.step) > int(state.step)
+
+    mgr = CheckpointManager(
+        os.path.join(cfg2.data.output_path, "model"))
+    assert mgr.latest_epoch() == 2
+    mgr.close()
