@@ -145,13 +145,24 @@ def cmd_demo(args) -> None:
                                           return_attention=True)
     caption = decode_captions(np.asarray(tokens), idx_to_word)[0]
 
-    if args.save_img and attention is not None:
-        from .vision.overlay import save_attention_overlays
+    if args.save_img:
+        from .vision.overlay import (save_attention_overlays,
+                                     save_detection_overlay)
         out_dir = os.path.join(
             "./demo", os.path.splitext(os.path.basename(args.image_path))[0],
             d.image_model)
-        save_attention_overlays(args.image_path, np.asarray(attention)[:, 0],
-                                boxes, caption, out_dir)
+        # detection boxes + labels txt (detect_for_preprocess.py:80-161 /
+        # preprocess.py:172-206 save paths)
+        # positions rows 1.. carry the class-score one-hot per detection
+        cls = np.argmax(poss[1:, 4:], axis=-1)
+        scr = np.max(poss[1:, 4:], axis=-1)
+        valid = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) > 0
+        save_detection_overlay(args.image_path, boxes[valid], scr[valid],
+                               cls[valid], out_dir)
+        if attention is not None:
+            save_attention_overlays(args.image_path,
+                                    np.asarray(attention)[:, 0],
+                                    boxes, caption, out_dir)
 
     print(caption)
     print(f"time: {time.time() - t0:.2f}s")

@@ -5,10 +5,11 @@ Semantics match the reference (modules.py:6-27):
 attention weights, then ``@ v``.  Returns ``(output, attention_weights)``.
 
 Two execution paths:
-  * ``_attention_xla``   — plain jnp ops; differentiable; used for training
-    and whenever attention weights are consumed (demo overlays).
-  * ``attention_pallas`` — single-pass fused kernel (scores, mask, softmax,
-    weighted sum in VMEM; one HBM round-trip).  Inference path.
+  * ``_attention_xla``   — plain jnp ops; used whenever attention weights
+    are consumed (demo overlays) or attention dropout is active.
+  * ``fused_attention``  — single-pass fused Pallas kernel (scores, mask,
+    softmax, weighted sum in VMEM; one HBM round-trip) with a custom VJP
+    whose backward is also one kernel; serves inference AND training.
 
 Shapes: q [B, H, Lq, Dh], k/v [B, H, Lk, Dh], mask bool [B, Lq, Lk]
 (True = masked).
@@ -92,47 +93,6 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
         p, v.astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("temperature",))
-def attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     mask: Optional[jnp.ndarray],
-                     temperature: float) -> jnp.ndarray:
-    """Fused attention forward (no dropout, no weight output).
-
-    q [B,H,Lq,Dh], k/v [B,H,Lk,Dh], mask bool [B,Lq,Lk] or None.
-    """
-    b, h, lq, dh = q.shape
-    lk = k.shape[2]
-    if mask is None:
-        mask_i8 = jnp.zeros((b, lq, lk), dtype=jnp.int8)
-    else:
-        mask_i8 = mask.astype(jnp.int8)
-
-    grid = (b, h)
-    out = pl.pallas_call(
-        functools.partial(_fused_attention_kernel, temperature=temperature),
-        out_shape=jax.ShapeDtypeStruct((b, h, lq, dh), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, lq, dh), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, dh), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk, dh), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, lk), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, lq, dh), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )(
-        q.reshape(b, h, lq, dh),
-        k.reshape(b, h, lk, dh),
-        v.reshape(b, h, lk, dh),
-        mask_i8,
-    )
-    return out
 
 
 # ---------------------------------------------------------------------------
