@@ -360,19 +360,26 @@ def _reindex_small(x: jnp.ndarray, beam_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "score_mode",
-                                   "use_pallas"))
+                                   "use_pallas", "stop_at_end"))
 def beam_search(params: Params, cfg: ModelConfig,
                 object_features: jnp.ndarray,
                 position_features: jnp.ndarray, *,
                 beam_size: int,
                 score_mode: str = "prob",
-                use_pallas: bool = False) -> jnp.ndarray:
+                use_pallas: bool = False,
+                stop_at_end: bool = False) -> jnp.ndarray:
     """Replaces model.py:135-200 / model_RL.py:134-199.
 
     score_mode 'prob'     — running sum of softmax probabilities
                             (XE model parity, model.py:183);
     score_mode 'logprob'  — running sum of log-probs (RL-policy parity,
                             model_RL.py:72,182 — also the "correct" beam).
+    stop_at_end           — clean-mode fix for the reference's missing EOS
+                            handling (model.py:169-198): a finished beam
+                            (emitted <END>) is frozen — it proposes only
+                            <NULL> with probability 1, so its score stops
+                            accumulating.  Meaningful with 'logprob'
+                            scoring; off by default for reference parity.
     Returns tokens [B, max_length] — the best beam.
     """
     assert score_mode in ("prob", "logprob")
@@ -436,6 +443,16 @@ def beam_search(params: Params, cfg: ModelConfig,
             local_s = jnp.exp(local_l - lse)           # softmax(top-k)
         else:
             local_s = local_l - lse                    # log_softmax(top-k)
+        if stop_at_end:
+            # frozen beams propose only <NULL> with certainty
+            from ..config import END_IDX, NULL_IDX
+            finished = (token_t == END_IDX) | \
+                       ((token_t == NULL_IDX) & (t > 1))     # [B, K]
+            # slot 0 adds nothing (freeze); the duplicate proposals in
+            # slots 1.. must never be selected
+            certain = jnp.zeros_like(local_s).at[..., 1:].set(-jnp.inf)
+            local_s = jnp.where(finished[..., None], certain, local_s)
+            local_i = jnp.where(finished[..., None], NULL_IDX, local_i)
         combined = local_s + scores[..., None]
         # two-stage top-k (exact): the global top-K over K*V can only use
         # each beam's own top-K tokens

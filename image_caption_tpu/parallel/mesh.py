@@ -18,7 +18,6 @@ All sharding is expressed as ``PartitionSpec`` trees consumed by ``jax.jit``
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax
@@ -125,20 +124,3 @@ def shard_batch(mesh: Mesh, batch):
     """Place host batch arrays with batch-dim sharding over `data`."""
     s = data_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
-
-
-def pad_batch_to(batch_arrays, multiple: int):
-    """Pad leading batch dim to a multiple (for even data sharding).
-
-    Returns (padded_arrays, real_count).  Padding rows are zeros, which the
-    captioner treats as fully-padded items (all masks fire).
-    """
-    b = batch_arrays[0].shape[0]
-    target = math.ceil(b / multiple) * multiple
-    if target == b:
-        return batch_arrays, b
-    out = []
-    for a in batch_arrays:
-        pad = [(0, target - b)] + [(0, 0)] * (a.ndim - 1)
-        out.append(np.pad(np.asarray(a), pad))
-    return type(batch_arrays)(out), b

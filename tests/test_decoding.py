@@ -152,3 +152,27 @@ def test_focal_loss_matches_torch_semantics(tiny_cfg):
                                          jnp.asarray(target)[None])
     got = float(C.focal_loss_from_ce(ours_ce, 2.0))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_beam_stop_at_end_freezes_finished(tiny_cfg, fake_batch):
+    """Clean-mode EOS handling: once a beam emits <END>, the remainder is
+    <NULL> and its score stops accumulating."""
+    import jax
+    import jax.numpy as jnp
+    from image_caption_tpu.config import END_IDX, NULL_IDX
+    from image_caption_tpu.models.captioner import init_captioner
+    from image_caption_tpu.models.decoding import beam_search
+
+    cfg = tiny_cfg
+    params = init_captioner(jax.random.PRNGKey(3), cfg.model)
+    feats, poss, _ = fake_batch
+    tokens = np.asarray(beam_search(params, cfg.model, feats, poss,
+                                    beam_size=3, score_mode="logprob",
+                                    stop_at_end=True))
+    for row in tokens:
+        seen_end = False
+        for t, tok in enumerate(row[1:], start=1):
+            if seen_end:
+                assert tok == NULL_IDX, (row,)
+            if tok == END_IDX:
+                seen_end = True
