@@ -11,9 +11,7 @@ Reference parity notes are cited as ``file:line`` into ``/root/reference``.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field, replace
-from typing import Optional
 
 
 # ---------------------------------------------------------------------------

@@ -10,11 +10,10 @@ with realistic zero-padding.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
-from ..config import Config
 from ..utils.io import save_hkl, save_pickle
 from .vocab import build_caption_vector, build_vocab
 

@@ -13,7 +13,7 @@ used (``CoreNLPTokenizer``) as the byte-exact oracle for vocab builds.
 from __future__ import annotations
 
 import re
-from typing import Iterable, List
+from typing import List
 
 # Characters CoreNLP PTB treats as separate tokens and that survive the
 # reference's cleaning pass (it removes . , ' " ( ) & -).

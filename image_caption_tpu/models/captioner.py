@@ -21,7 +21,7 @@ Reference quirks deliberately preserved (each behind its config flag):
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,13 +21,12 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, START_IDX
-from ..ops import masks as M
 from ..ops.attention import masked_softmax
 from . import layers as L
 from .captioner import (_decoder_pos_table, _move_first_image_feature,

@@ -62,11 +62,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # Parameter partition rules
 # ---------------------------------------------------------------------------
 
-def _is_leaf_dict(d) -> bool:
-    return isinstance(d, dict) and all(
-        not isinstance(v, (dict, list, tuple)) for v in d.values())
-
-
 def param_spec(path: tuple, leaf) -> P:
     """PartitionSpec for one parameter leaf, keyed by its pytree path.
 

@@ -16,7 +16,7 @@ implementation and the test oracle.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -15,7 +15,7 @@ degrades to a no-op sink otherwise (the framework never requires torch).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 
 class TensorBoardWriter:

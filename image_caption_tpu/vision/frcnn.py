@@ -32,15 +32,15 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .nms import iou_matrix, nms_fixed
+from .nms import nms_fixed
 from .ops import crop_and_resize
-from .resnet import (RESNET50_STAGES, _bn_init, _conv_init, init_resnet,
+from .resnet import (RESNET50_STAGES, _conv_init, init_resnet,
                      resnet_feature_maps)
 
 Params = Dict[str, Any]

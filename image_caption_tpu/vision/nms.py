@@ -17,7 +17,7 @@ Matches torchvision-style hard NMS decisions for the kept set.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
