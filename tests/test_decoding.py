@@ -176,3 +176,24 @@ def test_beam_stop_at_end_freezes_finished(tiny_cfg, fake_batch):
                 assert tok == NULL_IDX, (row,)
             if tok == END_IDX:
                 seen_end = True
+
+
+def test_topk_exact_2level_matches_lax():
+    import jax
+    import jax.numpy as jnp
+    from image_caption_tpu.models.decoding import topk_exact_2level
+
+    rng = np.random.RandomState(0)
+    for shape, k in (((7, 12000), 3), ((2, 3, 5000), 5), ((4, 100), 3),
+                     ((3, 257), 2)):
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        v1, i1 = jax.lax.top_k(x, k)
+        v2, i2 = topk_exact_2level(x, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    # adversarial: all top-k values inside ONE chunk
+    x = np.zeros((1, 12000), np.float32)
+    x[0, 400:403] = [9.0, 8.0, 7.0]
+    v, i = topk_exact_2level(jnp.asarray(x), 3)
+    np.testing.assert_array_equal(np.asarray(i)[0], [400, 401, 402])
