@@ -197,3 +197,33 @@ def test_topk_exact_2level_matches_lax():
     x[0, 400:403] = [9.0, 8.0, 7.0]
     v, i = topk_exact_2level(jnp.asarray(x), 3)
     np.testing.assert_array_equal(np.asarray(i)[0], [400, 401, 402])
+
+
+def test_cached_greedy_matches_naive_move_first():
+    """Decode parity for the move-first-image-feature tail FFN
+    (model.py:451-457) — the remaining decoder quirk not covered by the
+    tiny/flagship configs."""
+    from image_caption_tpu.config import get_preset
+    cfg = get_preset("RL_maxlen49_36obj_1wordCount_256_25b_32h_move"
+                     ).with_overrides(**{
+        "model.num_vocab": 50, "model.max_length": 11,
+        "model.num_objects": 5,
+        "model.encode_input_size": 32, "model.encode_q_k_dim": 32,
+        "model.encode_v_dim": 32, "model.encode_hidden_size": 32,
+        "model.encode_num_heads": 4, "model.encode_num_blocks": 1,
+        "model.dim_word_embedding": 32, "model.decode_input_size": 32,
+        "model.decode_q_k_dim": 32, "model.decode_v_dim": 32,
+        "model.decode_hidden_size": 32, "model.decode_num_heads": 4,
+        "model.decode_num_blocks": 2})
+    assert cfg.model.move_first_image_feature
+    params = C.init_captioner(jax.random.PRNGKey(5), cfg.model)
+    feats, pos, _ = make_fake_batch(cfg, batch=3, seed=5)
+
+    want, _ = naive_greedy(params, cfg.model, feats, pos)
+    got, _ = D.greedy_decode(params, cfg.model, feats, pos)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    want_b = naive_beam(params, cfg.model, feats, pos, 2, "prob")
+    got_b = D.beam_search(params, cfg.model, feats, pos, beam_size=2,
+                          score_mode="prob")
+    np.testing.assert_array_equal(np.asarray(got_b), want_b)

@@ -128,3 +128,26 @@ def test_rl_structure_loss_matches_manual(flagship_tiny_cfg):
     np.testing.assert_allclose(float(got["loss"]), manual, rtol=1e-5)
     np.testing.assert_allclose(float(got["reward"]), rewards.mean(),
                                rtol=1e-6)
+
+
+def test_padded_batch_items_contribute_zero_loss(tiny_cfg, mesh8):
+    """The fixed-shape batch padding (repeated rows + blanked captions)
+    must not change the loss vs the unpadded batch."""
+    import jax.numpy as jnp
+    from image_caption_tpu.data.dataset import (_blank_padded_captions,
+                                                _pad_rows)
+    from image_caption_tpu.models.captioner import captioner_xe_loss
+    from image_caption_tpu.models.captioner import init_captioner
+
+    cfg = tiny_cfg
+    params = init_captioner(jax.random.PRNGKey(0), cfg.model)
+    feats, poss, caps = make_fake_batch(cfg, batch=5)
+
+    loss_real = float(captioner_xe_loss(params, cfg.model, feats, poss,
+                                        caps, deterministic=True)["loss"])
+
+    pf, pp, pc = _pad_rows([feats, poss, caps], 8)
+    pc = _blank_padded_captions(pc, 5)
+    loss_padded = float(captioner_xe_loss(params, cfg.model, pf, pp, pc,
+                                          deterministic=True)["loss"])
+    np.testing.assert_allclose(loss_padded, loss_real, rtol=1e-6)
