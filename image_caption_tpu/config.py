@@ -101,6 +101,10 @@ class RLConfig:
     # reference 'sample' is argmax of log-softmax (model_RL.py:93-97);
     # 'categorical' is the statistically correct SCST sampler.
     sample_mode: str = "argmax"          # 'argmax' | 'categorical'
+    # samples per item (categorical only): N > 1 activates the reference's
+    # dormant multi-sample machinery (loss.py:140-141,158-159) as a real
+    # leave-in mean baseline over the samples
+    num_samples: int = 1
 
 
 @dataclass(frozen=True)

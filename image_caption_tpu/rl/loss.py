@@ -44,34 +44,47 @@ def make_reward_callback(reward_computer) -> Callable:
     (structure [B] f32, self_cider [B] f32)``.
     """
     def host_fn(sample_seq, target_seq):
+        # sample_seq [B, N, T]; target [B, T] scored against every sample
         sample_seq = np.asarray(sample_seq)
         target_seq = np.asarray(target_seq)
-        structure = reward_computer.structure_scores(sample_seq, target_seq)
-        self_cider = reward_computer.self_cider_scores(sample_seq)
-        return (np.asarray(structure, np.float32),
-                np.asarray(self_cider, np.float32))
+        b, n, t = sample_seq.shape
+        flat = sample_seq.reshape(b * n, t)
+        tgt = np.repeat(target_seq, n, axis=0)
+        structure = reward_computer.structure_scores(flat, tgt)
+        self_cider = reward_computer.self_cider_scores(flat)
+        return (np.asarray(structure, np.float32).reshape(b, n),
+                np.asarray(self_cider, np.float32).reshape(b, n))
 
     def callback(sample_seq, target_seq):
-        b = sample_seq.shape[0]
-        out_shape = (jax.ShapeDtypeStruct((b,), jnp.float32),
-                     jax.ShapeDtypeStruct((b,), jnp.float32))
+        b, n = sample_seq.shape[0], sample_seq.shape[1]
+        out_shape = (jax.ShapeDtypeStruct((b, n), jnp.float32),
+                     jax.ShapeDtypeStruct((b, n), jnp.float32))
         return jax.pure_callback(host_fn, out_shape, sample_seq, target_seq,
                                  vmap_method="sequential")
     return callback
 
 
 def sample_from_logits(logits: jnp.ndarray, rng: Optional[jax.Array],
-                       mode: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(sequence, logprobs) from teacher-forced logits.
+                       mode: str, num_samples: int = 1
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sequences [B, N, T], logprobs [B, T, V]) from teacher-forced logits.
 
-    'argmax' reproduces model_RL.py:93-97; 'categorical' is true sampling.
+    'argmax' reproduces model_RL.py:93-97 (N forced to 1 — repeated argmax
+    samples are identical); 'categorical' is true sampling and supports
+    N > 1 independent draws per item (the seq_per_img machinery the
+    reference stubs at loss.py:158-159,140).
     """
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     if mode == "argmax":
-        seq = jnp.argmax(logprobs, axis=-1)
+        seq = jnp.argmax(logprobs, axis=-1)[:, None]             # [B,1,T]
     elif mode == "categorical":
-        assert rng is not None
-        seq = jax.random.categorical(rng, logits, axis=-1)
+        if rng is None:
+            # eval paths sample deterministically (fixed key)
+            rng = jax.random.PRNGKey(0)
+        keys = jax.random.split(rng, num_samples)
+        seq = jax.vmap(lambda k: jax.random.categorical(k, logits, axis=-1)
+                       )(keys)                                    # [N,B,T]
+        seq = seq.transpose(1, 0, 2)
     else:
         raise ValueError(mode)
     return seq.astype(jnp.int32), logprobs
@@ -81,13 +94,23 @@ def structure_loss(logprobs: jnp.ndarray, sample_seq: jnp.ndarray,
                    rewards: jnp.ndarray, self_cider: jnp.ndarray, *,
                    entropy_weight: float,
                    self_cider_weight: float) -> Dict[str, jnp.ndarray]:
-    """loss.py:121-155 on-device.  logprobs [B,T,V], sample_seq [B,T],
-    rewards/self_cider [B]."""
-    mask = (sample_seq > 0).astype(logprobs.dtype)               # [B, T]
-    ones = jnp.ones_like(mask[:, :1])
-    mask = jnp.concatenate([ones, mask[:, :-1]], axis=1)         # shifted
+    """loss.py:121-155 on-device, generalized over N samples per item.
 
-    scores = rewards[:, None]                                    # [B, 1]
+    logprobs [B,T,V]; sample_seq [B,N,T]; rewards/self_cider [B,N].
+    With N == 1 this is exactly the reference computation (baseline 0);
+    with N > 1 the reference's own baseline formula (loss.py:140-141)
+    becomes a real leave-in mean baseline over the samples."""
+    if sample_seq.ndim == 2:                         # [B,T] -> [B,1,T]
+        sample_seq = sample_seq[:, None]
+        rewards = rewards[:, None] if rewards.ndim == 1 else rewards
+        self_cider = (self_cider[:, None] if self_cider.ndim == 1
+                      else self_cider)
+
+    mask = (sample_seq > 0).astype(logprobs.dtype)               # [B,N,T]
+    ones = jnp.ones_like(mask[:, :, :1])
+    mask = jnp.concatenate([ones, mask[:, :, :-1]], axis=2)      # shifted
+
+    scores = rewards                                             # [B, N]
     reward_out = scores
 
     if entropy_weight > 0:
@@ -95,24 +118,24 @@ def structure_loss(logprobs: jnp.ndarray, sample_seq: jnp.ndarray,
         # (loss.py:132); detached (.data)
         p = jax.nn.softmax(logprobs, axis=2)
         logp = jax.nn.log_softmax(logprobs, axis=2)
-        entropy = -jnp.sum(p * logp, axis=2)
+        entropy = -jnp.sum(p * logp, axis=2)                     # [B, T]
         entropy = jax.lax.stop_gradient(entropy)
-        entropy = jnp.sum(entropy * mask, axis=1) / jnp.sum(mask, axis=1)
-        scores = scores + entropy_weight * entropy[:, None]
+        entropy = jnp.sum(entropy[:, None] * mask, axis=2) \
+            / jnp.sum(mask, axis=2)                              # [B, N]
+        scores = scores + entropy_weight * entropy
 
-    gathered = jnp.take_along_axis(logprobs, sample_seq[..., None],
-                                   axis=2)[..., 0]               # [B, T]
+    gathered = jnp.take_along_axis(
+        logprobs[:, None], sample_seq[..., None], axis=3)[..., 0]  # [B,N,T]
 
-    # baseline (loss.py:140-141): identically zero for [B,1] scores —
-    # kept for shape-parity with multi-sample extensions
+    # baseline (loss.py:140-141): zero for N=1; leave-in mean for N>1
     baseline = (jnp.sum(scores, axis=1, keepdims=True) - scores) \
         / scores.shape[1]
     scores = scores - baseline
 
     if self_cider_weight > 0:
-        scores = scores + self_cider_weight * self_cider[:, None]
+        scores = scores + self_cider_weight * self_cider
 
-    loss = -gathered * mask * scores
+    loss = -gathered * mask * scores[..., None]
     loss = jnp.sum(loss) / jnp.sum(mask)
     return {"loss": loss, "reward": jnp.mean(reward_out)}
 
@@ -131,7 +154,8 @@ def rl_sample_sequence(params, cfg: Config, batch, *,
     logits = captioner_logits(params, cfg.model, features, positions,
                               captions, rng=drop_rng,
                               deterministic=deterministic)
-    seq, _ = sample_from_logits(logits, sample_rng, cfg.rl.sample_mode)
+    seq, _ = sample_from_logits(logits, sample_rng, cfg.rl.sample_mode,
+                                cfg.rl.num_samples)
     return seq
 
 
@@ -165,7 +189,8 @@ def rl_composite_loss(params, cfg: Config, batch, reward_callback=None, *,
 
     if w > 0:
         sample_seq, logprobs = sample_from_logits(logits, sample_rng,
-                                                  cfg.rl.sample_mode)
+                                                  cfg.rl.sample_mode,
+                                                  cfg.rl.num_samples)
         if rewards is None:
             assert reward_callback is not None
             rewards, self_cider = reward_callback(sample_seq, target)

@@ -179,12 +179,14 @@ class RLTrainer(Trainer):
 
     def _host_rewards(self, sample_seq, captions):
         import numpy as np
-        target = np.asarray(captions)[:, 1:]
-        rewards = self.reward_computer.structure_scores(
-            np.asarray(sample_seq), target)
-        self_cider = self.reward_computer.self_cider_scores(
-            np.asarray(sample_seq))
-        return rewards, self_cider
+        seq = np.asarray(sample_seq)          # [B, N, T]
+        b, n, t = seq.shape
+        flat = seq.reshape(b * n, t)
+        target = np.repeat(np.asarray(captions)[:, 1:], n, axis=0)
+        rewards = self.reward_computer.structure_scores(flat, target)
+        self_cider = self.reward_computer.self_cider_scores(flat)
+        return (np.asarray(rewards).reshape(b, n),
+                np.asarray(self_cider).reshape(b, n))
 
     def train_step_device(self, batch):
         if not self._two_phase:

@@ -151,3 +151,61 @@ def test_padded_batch_items_contribute_zero_loss(tiny_cfg, mesh8):
     loss_padded = float(captioner_xe_loss(params, cfg.model, pf, pp, pc,
                                           deterministic=True)["loss"])
     np.testing.assert_allclose(loss_padded, loss_real, rtol=1e-6)
+
+
+def test_rl_multi_sample_structure_loss_manual():
+    """Multi-sample (N=4) structure loss vs manual numpy, incl. the
+    leave-in mean baseline (loss.py:140-141 with N > 1)."""
+    import jax.numpy as jnp
+    from image_caption_tpu.rl.loss import structure_loss
+
+    rng = np.random.RandomState(1)
+    b, n, t, v = 2, 4, 5, 7
+    logprobs = np.log(rng.dirichlet(np.ones(v), size=(b, t))).astype(
+        np.float32)
+    seq = rng.randint(0, v, size=(b, n, t)).astype(np.int32)
+    rewards = rng.rand(b, n).astype(np.float32)
+    self_cider = rng.rand(b, n).astype(np.float32)
+
+    got = structure_loss(jnp.asarray(logprobs), jnp.asarray(seq),
+                         jnp.asarray(rewards), jnp.asarray(self_cider),
+                         entropy_weight=1.0, self_cider_weight=1.0)
+
+    mask = (seq > 0).astype(np.float32)
+    mask = np.concatenate([np.ones((b, n, 1), np.float32),
+                           mask[:, :, :-1]], 2)
+    p2 = np.exp(logprobs - logprobs.max(-1, keepdims=True))
+    p2 = p2 / p2.sum(-1, keepdims=True)
+    ent = -(p2 * np.log(p2)).sum(-1)                   # [B, T]
+    ent_n = (ent[:, None] * mask).sum(2) / mask.sum(2)
+    scores = rewards + ent_n
+    baseline = (scores.sum(1, keepdims=True) - scores) / n
+    scores = scores - baseline + self_cider
+    gathered = np.take_along_axis(
+        np.broadcast_to(logprobs[:, None], (b, n, t, v)),
+        seq[..., None], axis=3)[..., 0]
+    manual = -(gathered * mask * scores[..., None]).sum() / mask.sum()
+
+    np.testing.assert_allclose(float(got["loss"]), manual, rtol=1e-5)
+    np.testing.assert_allclose(float(got["reward"]), rewards.mean(),
+                               rtol=1e-6)
+
+
+def test_rl_multi_sample_two_phase_trains(flagship_tiny_cfg, monkeypatch):
+    """Categorical N=4 SCST runs end-to-end in two-phase mode."""
+    import image_caption_tpu.rl.step as rstep
+    from image_caption_tpu.train.loop import RLTrainer
+
+    cfg = flagship_tiny_cfg.with_overrides(**{
+        "rl.sample_mode": "categorical", "rl.num_samples": 4})
+    vocab = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+    for i in range(4, cfg.model.num_vocab):
+        vocab[f"w{i}"] = i
+
+    monkeypatch.setattr(rstep, "backend_supports_callbacks", lambda: False)
+    trainer = RLTrainer(cfg, vocab)
+    assert trainer._two_phase
+    batch = make_fake_batch(cfg, batch=8)
+    m = trainer.train_step(*batch)
+    assert np.isfinite(m["loss"]) and np.isfinite(m["reward"])
+    assert int(trainer.state.step) == 1
