@@ -1,0 +1,417 @@
+"""Golden parity vs the ACTUAL reference implementation at /root/reference.
+
+Round-1 golden tests (tests/test_golden_torch.py) compared against a torch
+model we wrote ourselves — an independent expression, but with same-author
+blind-spot risk.  These tests import the reference's own modules
+(core/TRANSFORMER/model.py, model_RL.py, loss.py), load OUR parameters into
+them through utils/torch_import.export_reference_state_dict, and assert:
+
+  * teacher-forced logits match to <= 1e-4   (model.py:79-93);
+  * XE and focal loss scalars match          (model.py:96; loss.py:20-28);
+  * greedy decode is token-exact             (model.py:101-132);
+  * beam search is token-exact — prob mode vs Transformer.beam_search
+    (model.py:135-200) and logprob mode vs PolicyNetwork.beam_search
+    (model_RL.py:134-199, LogSoftmax at model_RL.py:72);
+  * PolicyNetwork forward/sample match       (model_RL.py:75-97);
+  * ReinforcementLearningLoss / StructureCriterion scalars match
+    (loss.py:52-76, 121-155).
+
+The reference's metric imports (core.metrics.{cider,ciderD,bleu} — external
+clones NOT vendored in /root/reference) are satisfied with
+interface-compatible stubs built from OUR scorers, so scorer internals are
+common-mode in the RL-loss comparison; they are validated separately against
+hand-computed values in tests/test_metrics.py.  Everything else — model
+math, masks, decode loops, loss plumbing — runs the reference's own code.
+"""
+
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+
+from image_caption_tpu.config import get_preset
+from image_caption_tpu.models.captioner import (captioner_logits,
+                                                captioner_xe_loss,
+                                                init_captioner)
+from image_caption_tpu.models.decoding import beam_search, greedy_decode
+from image_caption_tpu.utils.torch_import import export_reference_state_dict
+
+from conftest import make_fake_batch
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "core", "TRANSFORMER")),
+    reason="reference repo not available")
+
+
+# ---------------------------------------------------------------------------
+# Reference import with core.metrics / core.utils stubs
+# ---------------------------------------------------------------------------
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    mod.__path__ = []           # mark as package for submodule resolution
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """The reference's torch modules, importable without its external
+    clones: core.metrics.* resolves to our vendored scorers and core.utils
+    to our reference-semantics detokenizer (the real core/utils.py imports
+    hickle, absent here)."""
+    from image_caption_tpu.data.vocab import decode_captions
+    from image_caption_tpu.metrics.bleu import Bleu
+    from image_caption_tpu.metrics.cider import Cider, CiderD
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        _stub_module("core.metrics")
+        _stub_module("core.metrics.cider")
+        _stub_module("core.metrics.cider.cider", Cider=Cider)
+        _stub_module("core.metrics.ciderD")
+        _stub_module("core.metrics.ciderD.ciderD", CiderD=CiderD)
+        _stub_module("core.metrics.bleu")
+        _stub_module("core.metrics.bleu.bleu", Bleu=Bleu)
+        _stub_module("core.utils", decode_captions=decode_captions)
+
+        import importlib
+        ns = types.SimpleNamespace(
+            model=importlib.import_module("core.TRANSFORMER.model"),
+            model_RL=importlib.import_module("core.TRANSFORMER.model_RL"),
+            loss=importlib.import_module("core.TRANSFORMER.loss"),
+        )
+        yield ns
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+# ---------------------------------------------------------------------------
+# Config variants (each exercising a distinct reference code path)
+# ---------------------------------------------------------------------------
+
+_SHRINK = {
+    "model.num_vocab": 50, "model.max_length": 13, "model.num_objects": 6,
+    "model.encode_input_size": 32, "model.encode_q_k_dim": 32,
+    "model.encode_v_dim": 32, "model.encode_hidden_size": 32,
+    "model.encode_num_heads": 4, "model.encode_num_blocks": 2,
+    "model.dim_word_embedding": 32, "model.decode_input_size": 32,
+    "model.decode_q_k_dim": 32, "model.decode_v_dim": 32,
+    "model.decode_hidden_size": 32, "model.decode_num_heads": 4,
+    "model.decode_num_blocks": 2,
+}
+
+CONFIG_VARIANTS = {
+    # plain: no flags (core/config.py:553-575)
+    "plain": "maxlen49_64",
+    # flagship: split_image_objects + encode_mask (core/config.py:87-102)
+    "flagship": "RL_maxlen49_36obj_1wordCount_256_25b_32h_split_img_obj",
+    # move-first tail FFN + focal loss (model.py:451-457, loss.py:20-28)
+    "move_focal": "maxlen49_36obj_1wordCount_256_25b_32h_FocalLoss",
+    # split xyxy/class position embeddings (model.py:297-303)
+    "split_position": "maxlen49_36obj_1wordCount_256_25b_32h_SplitPosition",
+}
+
+
+def make_cfg(kind):
+    return get_preset(CONFIG_VARIANTS[kind]).with_overrides(**_SHRINK)
+
+
+def ref_kwargs(m):
+    """The 25 ctor kwargs the reference wrappers pass
+    (core/models.py:86-110, 143-165)."""
+    return dict(
+        num_vocab=m.num_vocab, max_length=m.max_length,
+        encode_dim_positions=m.dim_positions,
+        encode_dim_features=m.dim_features,
+        device=torch.device("cpu"),
+        encode_mask=m.encode_mask, pad_idx=m.pad_idx, dropout=m.dropout,
+        encode_input_size=m.encode_input_size,
+        encode_q_k_dim=m.encode_q_k_dim, encode_v_dim=m.encode_v_dim,
+        encode_hidden_size=m.encode_hidden_size,
+        encode_num_blocks=m.encode_num_blocks,
+        encode_num_heads=m.encode_num_heads,
+        dim_word_embedding=m.dim_word_embedding,
+        decode_input_size=m.decode_input_size,
+        decode_q_k_dim=m.decode_q_k_dim, decode_v_dim=m.decode_v_dim,
+        decode_hidden_size=m.decode_hidden_size,
+        decode_num_blocks=m.decode_num_blocks,
+        decode_num_heads=m.decode_num_heads,
+        move_first_image_feature=m.move_first_image_feature,
+        split_position=m.split_position,
+        split_image_objects=m.split_image_objects,
+    )
+
+
+def load_our_params(model, params, m):
+    """Load our pytree into the reference nn.Module; the only tolerated
+    missing key is the recomputed sinusoid buffer (model.py:495-500)."""
+    sd = export_reference_state_dict(params, m)
+    # np.array(copy) so torch never aliases a read-only jax export buffer
+    sd_t = {k: torch.from_numpy(np.array(v, dtype=np.float32))
+            for k, v in sd.items()}
+    result = model.load_state_dict(sd_t, strict=False)
+    assert list(result.missing_keys) == \
+        ["decoder.position_embedding.pos_table"], result.missing_keys
+    assert not result.unexpected_keys, result.unexpected_keys
+    model.eval()
+    return model
+
+
+def _t(x):
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+
+
+class sorted_topk:
+    """Pin torch.topk to sorted order inside reference beam search.
+
+    The reference calls ``torch.topk(..., sorted=False)`` (model.py:163,190)
+    whose element ORDER is implementation-defined; lane 0 of the final
+    top-k — the hypothesis ``beam_search`` returns (model.py:200) — is
+    therefore an arbitrary member of the top-k set on some ATen builds, not
+    the best one.  Our beam deterministically returns the best-scoring
+    hypothesis, which equals the reference's output under sorted order (and
+    bit-for-bit on builds where sorted=False happens to sort, e.g. CUDA
+    beam<=4 heap kernels).  Verified empirically: with sorted order forced,
+    token sets match exactly; without, only the arbitrary final-lane pick
+    differs.  See docs/parity.md."""
+
+    def __enter__(self):
+        self._orig = torch.topk
+
+        def topk(x, k, dim=-1, largest=True, sorted=False):
+            return self._orig(x, k, dim=dim, largest=largest, sorted=True)
+
+        torch.topk = topk
+        return self
+
+    def __exit__(self, *exc):
+        torch.topk = self._orig
+        return False
+
+
+def build_ref_transformer(ref, m, params):
+    output_name = "FocalLoss" if m.xe_loss == "focal" else "xe"
+    model = ref.model.Transformer(output_name=output_name, **ref_kwargs(m))
+    return load_our_params(model, params, m)
+
+
+def build_ref_policy(ref, m, params):
+    model = ref.model_RL.PolicyNetwork(**ref_kwargs(m))
+    return load_our_params(model, params, m)
+
+
+def _setup(kind, batch=3, seed=11):
+    cfg = make_cfg(kind)
+    m = cfg.model
+    params = init_captioner(jax.random.PRNGKey(7), m)
+    feats, poss, caps = make_fake_batch(cfg, batch=batch, seed=seed)
+    return cfg, m, params, (feats, poss, caps)
+
+
+def _ref_logits(model, feats, poss, caps):
+    """Teacher-forced logits from the reference model (its forward returns
+    only the loss — model.py:79-98 — so this re-runs its components)."""
+    with torch.no_grad():
+        tf, tp, tc = _t(feats), _t(poss), _t(caps).long()
+        enc, _ = model.encoder(object_features=tf, position_features=tp)
+        mask = model.get_attention_key_pad_mask(k=tp, q=tc[:, :-1])
+        dec, _, _ = model.decoder(caption_vector=tc[:, :-1],
+                                  encode_output=enc,
+                                  context_attention_mask=mask)
+        return model.classifer(dec).numpy()
+
+
+# ---------------------------------------------------------------------------
+# Forward / loss parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind", sorted(CONFIG_VARIANTS))
+def test_logits_match_reference(ref, kind):
+    cfg, m, params, (feats, poss, caps) = _setup(kind)
+    ours = np.asarray(captioner_logits(params, m, feats, poss, caps,
+                                       deterministic=True))
+    model = build_ref_transformer(ref, m, params)
+    theirs = _ref_logits(model, feats, poss, caps)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", sorted(CONFIG_VARIANTS))
+def test_loss_scalar_matches_reference(ref, kind):
+    """CE(ignore_index=0) for plain configs; the scalar-mean-CE focal quirk
+    (loss.py:25-26) for the FocalLoss config."""
+    cfg, m, params, (feats, poss, caps) = _setup(kind)
+    ours = float(captioner_xe_loss(params, m, feats, poss, caps,
+                                   deterministic=True)["loss"])
+    model = build_ref_transformer(ref, m, params)
+    with torch.no_grad():
+        theirs = model(object_features=_t(feats), position_features=_t(poss),
+                       target_caption=_t(caps).long())["loss"].item()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Decode parity (token-exact)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind", sorted(CONFIG_VARIANTS))
+def test_greedy_tokens_match_reference(ref, kind):
+    cfg, m, params, (feats, poss, _) = _setup(kind)
+    ours, _ = greedy_decode(params, m, feats, poss)
+    model = build_ref_transformer(ref, m, params)
+    with torch.no_grad():
+        theirs, _ = model.generate_caption_vector(
+            object_features=_t(feats), position_features=_t(poss))
+    np.testing.assert_array_equal(np.asarray(ours), theirs.numpy())
+
+
+@pytest.mark.parametrize("kind", ["plain", "flagship"])
+@pytest.mark.parametrize("beam", [2, 3])
+def test_beam_tokens_match_reference(ref, kind, beam):
+    """Prob-sum scoring parity (softmax probs added to the running score,
+    model.py:183) including the //-% backpointer arithmetic
+    (model.py:194-198)."""
+    cfg, m, params, (feats, poss, _) = _setup(kind, batch=4, seed=3)
+    ours = np.asarray(beam_search(params, m, feats, poss, beam_size=beam,
+                                  score_mode="prob"))
+    model = build_ref_transformer(ref, m, params)
+    with torch.no_grad(), sorted_topk():
+        theirs = model.beam_search(object_features=_t(feats),
+                                   position_features=_t(poss),
+                                   beam_size=beam).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_policy_beam_logprob_matches_reference(ref):
+    """PolicyNetwork.beam_search scores with LogSoftmax (model_RL.py:72,182)
+    — our score_mode='logprob'."""
+    cfg, m, params, (feats, poss, _) = _setup("flagship", batch=4, seed=5)
+    ours = np.asarray(beam_search(params, m, feats, poss, beam_size=3,
+                                  score_mode="logprob"))
+    model = build_ref_policy(ref, m, params)
+    with torch.no_grad(), sorted_topk():
+        theirs = model.beam_search(object_features=_t(feats),
+                                   position_features=_t(poss),
+                                   beam_size=3).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+# ---------------------------------------------------------------------------
+# RL model / loss parity
+# ---------------------------------------------------------------------------
+
+def test_policy_forward_and_sample_match_reference(ref):
+    cfg, m, params, (feats, poss, caps) = _setup("flagship")
+    ours = np.asarray(captioner_logits(params, m, feats, poss, caps,
+                                       deterministic=True))
+    model = build_ref_policy(ref, m, params)
+    with torch.no_grad():
+        out = model(object_features=_t(feats), position_features=_t(poss),
+                    target_caption=_t(caps).long())
+        seq, logp = model.sample(output=out)
+    np.testing.assert_allclose(ours, out.numpy(), rtol=1e-4, atol=1e-4)
+
+    from image_caption_tpu.rl.loss import sample_from_logits
+    our_seq, our_logp = sample_from_logits(_j(ours), None, "argmax")
+    np.testing.assert_array_equal(np.asarray(our_seq)[:, 0], seq.numpy())
+    np.testing.assert_allclose(np.asarray(our_logp), logp.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def _j(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+def _vocab_50():
+    words = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+    for i in range(4, 50):
+        words[f"w{i}"] = i
+    return words
+
+
+def _write_df_blob(path):
+    """A small frozen doc-frequency file in the ruotianluo coco-val-df.p
+    layout ({'document_frequency': {ngram: df}, 'ref_len': log(N)}) over the
+    toy vocab, so CiderD/Cider(df='coco-val') take the frozen-df path on
+    both sides (loss.py:112-116).  Without it the corpus-fallback gram is
+    identically zero and the reference's unguarded get_div (loss.py:210)
+    yields inf for every sample."""
+    df = {}
+    for i in range(4, 50):
+        df[(f"w{i}",)] = float(1 + i % 7)
+        df[(f"w{i}", f"w{i + 1 if i < 49 else 4}")] = 1.0
+    blob = {"document_frequency": df, "ref_len": float(np.log(1000.0))}
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def test_rl_composite_loss_matches_reference(ref, tmp_path, monkeypatch):
+    """Full ReinforcementLearningLoss parity (loss.py:52-76): same logits in,
+    same loss / language_model_loss / structure_loss / reward out.  Both
+    sides score with our vendored CiderD/Cider/Bleu (the reference's clones
+    are absent), so this pins the loss PLUMBING — mask shift, entropy-of-
+    logprobs quirk, zero baseline, self-CIDEr eigval diversity, gather."""
+    cfg, m, params, (feats, poss, caps) = _setup("flagship")
+    word_to_idx = _vocab_50()
+    vocab_path = tmp_path / "word_index.pkl"
+    with open(vocab_path, "wb") as f:
+        pickle.dump(word_to_idx, f)
+    df_path = tmp_path / "coco-val-df.p"
+    _write_df_blob(df_path)
+    monkeypatch.setenv("ICX_CIDER_DF", str(df_path))
+
+    # --- ours: jitted composite loss with the host reward callback
+    from image_caption_tpu.rl.loss import (make_reward_callback,
+                                           rl_composite_loss)
+    from image_caption_tpu.rl.rewards import RewardComputer
+    rc = RewardComputer(
+        word_to_idx,
+        cider_reward_weight=cfg.rl.cider_reward_weight,
+        bleu_reward_weight=cfg.rl.bleu_reward_weight,
+        self_cider_reward_weight=cfg.rl.self_cider_reward_weight)
+    cb = make_reward_callback(rc)
+    loss, metrics = rl_composite_loss(params, cfg, (feats, poss, caps),
+                                      reward_callback=cb,
+                                      deterministic=True)
+
+    # --- theirs: reference PolicyNetwork + ReinforcementLearningLoss
+    model = build_ref_policy(ref, m, params)
+    rl_loss = ref.loss.ReinforcementLearningLoss(
+        structure_loss_weight=cfg.rl.structure_loss_weight,
+        cider_reward_weight=cfg.rl.cider_reward_weight,
+        bleu_reward_weight=cfg.rl.bleu_reward_weight,
+        entropy_reward_weight=cfg.rl.entropy_reward_weight,
+        self_cider_reward_weight=cfg.rl.self_cider_reward_weight,
+        word_to_idx_path=str(vocab_path),
+        pad_idx=m.pad_idx)
+    with torch.no_grad():
+        out = model(object_features=_t(feats), position_features=_t(poss),
+                    target_caption=_t(caps).long())
+        seq, logp = model.sample(output=out)
+        theirs = rl_loss(model_output=out, sample_sequence=seq,
+                         sample_logprobs=logp, target=_t(caps).long())
+
+    np.testing.assert_allclose(float(metrics["language_model_loss"]),
+                               theirs["language_model_loss"].item(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(metrics["structure_loss"]),
+                               theirs["structure_loss"].item(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(loss), theirs["loss"].item(),
+                               rtol=1e-4, atol=1e-5)
+    # reference 'reward' is the per-sentence scores tensor (loss.py:129)
+    np.testing.assert_allclose(float(metrics["reward"]),
+                               theirs["reward"].mean().item(),
+                               rtol=1e-4, atol=1e-5)
