@@ -135,6 +135,10 @@ class DataConfig:
     word_count_threshold: int = 1        # core/config.py:6
     max_obj: int = 5                     # core/config.py:9 (feature ETL truncation)
     image_model: str = "YOLOv5"          # 'YOLOv5' | 'FasterRCNN' (core/config.py:11)
+    # feature-store access: 'auto' streams splits larger than the loader
+    # threshold from disk, 'never' = reference behavior (whole split in
+    # RAM, core/utils.py:45-46), 'always' = force streamed reads
+    stream_features: str = "auto"
 
     @property
     def word_to_idx_path(self) -> str:

@@ -25,15 +25,25 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from ..utils.io import load_hkl, load_pickle
+from ..utils.io import load_hkl, load_pickle, open_hkl
+
+# 'auto' streaming threshold: split feature files above this stay on disk
+# and batches are gathered through sliced HDF5 reads (the real COCO train
+# split is ~33 GB of f32 features — the reference materializes all of it,
+# core/utils.py:45-46)
+STREAM_THRESHOLD_BYTES = 2 << 30
 
 
 @dataclass
 class CocoSplit:
-    """In-memory split mirror of ``load_coco_data``."""
+    """Split mirror of ``load_coco_data``.
 
-    features: np.ndarray        # [N_img, S, F] float32
-    positions: np.ndarray       # [N_img, S, P] float32
+    ``features``/``positions`` are numpy arrays (eager mode) or lazily
+    sliced ``HklDataset`` views (streaming mode) — both support the
+    indexing the batch iterators use."""
+
+    features: np.ndarray        # [N_img, S, F] float32 (or HklDataset)
+    positions: np.ndarray       # [N_img, S, P] float32 (or HklDataset)
     captions: np.ndarray        # [N_cap, L] int32
     image_idxs: np.ndarray      # [N_cap] int — caption -> image row
     file_names: np.ndarray
@@ -50,13 +60,28 @@ class CocoSplit:
 
 
 def load_split(data_path: str, split: str, *, verbose: bool = True,
-               load_references: bool = False) -> CocoSplit:
-    """load_coco_data equivalent (core/utils.py:32-64)."""
+               load_references: bool = False,
+               streaming: str = "auto") -> CocoSplit:
+    """load_coco_data equivalent (core/utils.py:32-64).
+
+    streaming: 'never' materializes features in RAM (reference behavior),
+    'always' streams batches from disk, 'auto' streams when the feature
+    file exceeds STREAM_THRESHOLD_BYTES."""
+    assert streaming in ("auto", "never", "always"), streaming
     d = os.path.join(data_path, split)
-    features = np.asarray(load_hkl(os.path.join(d, f"{split}.features.hkl")),
-                          dtype=np.float32)
-    positions = np.asarray(load_hkl(os.path.join(d, f"{split}.positions.hkl")),
-                           dtype=np.float32)
+    fpath = os.path.join(d, f"{split}.features.hkl")
+    ppath = os.path.join(d, f"{split}.positions.hkl")
+    stream = streaming == "always" or (
+        streaming == "auto"
+        and os.path.getsize(fpath) > STREAM_THRESHOLD_BYTES)
+    if stream:
+        features = open_hkl(fpath, dtype=np.float32)
+        positions = open_hkl(ppath, dtype=np.float32)
+        if verbose:
+            print(f"[data:{split}] streaming features from disk")
+    else:
+        features = np.asarray(load_hkl(fpath), dtype=np.float32)
+        positions = np.asarray(load_hkl(ppath), dtype=np.float32)
     captions = np.asarray(load_pickle(os.path.join(
         d, f"{split}.captions.pkl")), dtype=np.int32)
     image_idxs = np.asarray(load_pickle(os.path.join(

@@ -76,7 +76,8 @@ def cmd_evaluation(args) -> None:
 
     cfg = _load_config(args)
     d = cfg.data
-    split = load_split(d.data_path, args.split, load_references=True)
+    split = load_split(d.data_path, args.split, load_references=True,
+                       streaming=d.stream_features)
     wpath = d.word_to_idx_path
     word_to_idx = split.word_to_idx or load_pickle(wpath)
     idx_to_word = invert_vocab(word_to_idx)

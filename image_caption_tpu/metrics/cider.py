@@ -193,3 +193,32 @@ class CiderD(_CiderBase):
 
     def method(self) -> str:
         return "CIDEr-D"
+
+
+# ---------------------------------------------------------------------------
+# Frozen document-frequency construction (the 'coco-val' df the reference's
+# RL scorers are built with, loss.py:112-116)
+# ---------------------------------------------------------------------------
+
+def build_doc_frequency(caption_groups, n: int = N_DEFAULT) -> Dict:
+    """df blob from an iterable of per-image caption lists.
+
+    Returns the on-disk layout ``{"document_frequency": {ngram: df},
+    "ref_len": log(N_docs)}`` that ``_load_df`` consumes (the ruotianluo
+    coco-val-df.p format)."""
+    df: Dict[tuple, float] = defaultdict(float)
+    n_docs = 0
+    for captions in caption_groups:
+        n_docs += 1
+        seen = set()
+        for c in captions:
+            seen.update(precook(c, n).keys())
+        for g in seen:
+            df[g] += 1.0
+    return {"document_frequency": dict(df),
+            "ref_len": float(np.log(max(n_docs, 1)))}
+
+
+def save_doc_frequency(blob: Dict, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(blob, f, pickle.HIGHEST_PROTOCOL)

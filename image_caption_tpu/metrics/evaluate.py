@@ -22,8 +22,13 @@ from .spice import Spice, SpiceUnavailable
 
 def score_captions(ref_captions: Dict, hypo_captions: Dict,
                    include_spice: bool = False,
-                   verbose: bool = True) -> Dict[str, float]:
-    """evaluations.py:12-34 with graceful Java gating."""
+                   verbose: bool = True) -> Dict[str, object]:
+    """evaluations.py:12-34 with graceful Java gating.
+
+    A jar-gated scorer that cannot run still appears in the result as the
+    string ``"skipped (<reason>)"`` so score files stay comparable with
+    reference runs (which always report METEOR, core/evaluations.py:16);
+    numeric consumers must filter with ``is_scalar_score``."""
     scorers = [
         (Bleu(4), ["BLEU_1", "BLEU_2", "BLEU_3", "BLEU_4"]),
         (Meteor(), "METEOR"),
@@ -34,7 +39,7 @@ def score_captions(ref_captions: Dict, hypo_captions: Dict,
     if include_spice:
         scorers.append((Spice(), "SPICE"))
 
-    final_scores: Dict[str, float] = {}
+    final_scores: Dict[str, object] = {}
     for scorer, method in scorers:
         try:
             scores, _ = scorer.compute_score(gts=ref_captions,
@@ -42,6 +47,7 @@ def score_captions(ref_captions: Dict, hypo_captions: Dict,
         except (MeteorUnavailable, SpiceUnavailable) as e:
             if verbose:
                 print(f"[metrics] skipping {method}: {e}")
+            final_scores[method] = f"skipped ({e})"
             continue
         if isinstance(scores, list):
             for name, s in zip(method, scores):
@@ -49,6 +55,11 @@ def score_captions(ref_captions: Dict, hypo_captions: Dict,
         else:
             final_scores[method] = scores
     return final_scores
+
+
+def is_scalar_score(value) -> bool:
+    """True for real metric values, False for 'skipped (...)' markers."""
+    return isinstance(value, (int, float))
 
 
 def evaluate(target_dir: str, data_path: str, split: str = "valid",

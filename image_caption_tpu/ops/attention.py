@@ -18,14 +18,18 @@ Shapes: q [B, H, Lq, Dh], k/v [B, H, Lk, Dh], mask bool [B, Lq, Lk]
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float("-inf")
+
+logger = logging.getLogger(__name__)
 
 
 def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
@@ -195,6 +199,62 @@ def _fused_bwd(temperature, residuals, g):
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+_PALLAS_OK: Optional[bool] = None
+
+
+def pallas_available() -> bool:
+    """One-time startup probe of the fused attention kernel.
+
+    Compiles and executes a tiny fused call on the default backend once per
+    process; the verdict is cached and logged.  After a successful probe
+    the dispatch never wraps the real kernel call again, so a genuine
+    kernel bug on TPU surfaces as an error instead of silently degrading
+    to the XLA path."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        if jax.default_backend() in ("cpu", "gpu"):
+            # pallas TPU kernels don't lower on cpu/gpu, and the failure
+            # surfaces at jit-lowering time where a try/except can't
+            # reliably catch it
+            _PALLAS_OK = False
+            logger.info("attention dispatch: XLA (backend=%s)",
+                        jax.default_backend())
+        else:
+            # the first call usually happens while TRACING a jitted caller;
+            # the probe must execute eagerly, outside that trace.  JAX's
+            # trace stack is thread-local, so a fresh thread always has a
+            # clean (eager) context.
+            import threading
+            result: dict = {}
+
+            def _probe():
+                try:
+                    z = jnp.zeros((1, 1, 8, 128), jnp.float32)
+                    m = jnp.zeros((1, 8, 8), jnp.int8)
+                    # np.asarray: force the device fetch
+                    # (block_until_ready is unreliable over tunneled
+                    # backends)
+                    np.asarray(fused_attention(z, z, z, m, 1.0))
+                    result["ok"] = True
+                except Exception as exc:   # probe failure only
+                    result["ok"] = False
+                    result["exc"] = exc
+
+            t = threading.Thread(target=_probe, name="pallas-probe")
+            t.start()
+            t.join()
+            _PALLAS_OK = bool(result.get("ok"))
+            if _PALLAS_OK:
+                logger.info("attention dispatch: fused Pallas kernel")
+            else:
+                exc = result.get("exc")
+                logger.warning(
+                    "fused Pallas attention failed its startup probe "
+                    "(%s: %s); using the XLA attention path",
+                    type(exc).__name__, exc)
+    return _PALLAS_OK
+
+
 def sdp_attention(q, k, v, mask, temperature, *,
                   dropout_rate: float = 0.0,
                   rng: Optional[jax.Array] = None,
@@ -206,23 +266,19 @@ def sdp_attention(q, k, v, mask, temperature, *,
 
     The fused Pallas path runs whenever attention weights and dropout are
     not required — it is differentiable (custom VJP, backward is also a
-    single-pass kernel), so it serves training too.  Falls back
-    transparently on non-TPU backends.
+    single-pass kernel), so it serves training too.  The path decision is
+    made ONCE per process by ``pallas_available`` (probe + log); kernel
+    failures after a successful probe propagate.
     """
     dropout_active = (not deterministic and dropout_rate > 0.0
                       and rng is not None)
-    # pallas TPU kernels don't lower on the CPU backend, and the failure
-    # surfaces at jit-lowering time where a try/except can't catch it
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if use_pallas and on_tpu and not need_weights and not dropout_active:
-        try:
-            b, lq = q.shape[0], q.shape[2]
-            lk = k.shape[2]
-            mask_i8 = (jnp.zeros((b, lq, lk), jnp.int8) if mask is None
-                       else mask.astype(jnp.int8))
-            return fused_attention(q, k, v, mask_i8, temperature), None
-        except Exception:
-            pass  # non-TPU backend or unsupported shape: fall through
+    if (use_pallas and not need_weights and not dropout_active
+            and pallas_available()):
+        b, lq = q.shape[0], q.shape[2]
+        lk = k.shape[2]
+        mask_i8 = (jnp.zeros((b, lq, lk), jnp.int8) if mask is None
+                   else mask.astype(jnp.int8))
+        return fused_attention(q, k, v, mask_i8, temperature), None
     out, attn = _attention_xla(q, k, v, mask, temperature,
                                dropout_rate=dropout_rate, rng=rng,
                                deterministic=deterministic)

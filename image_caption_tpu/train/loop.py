@@ -25,7 +25,7 @@ import numpy as np
 from ..config import Config
 from ..data.dataset import CaptionBatches, CocoSplit, ImageBatches, load_split
 from ..data.vocab import decode_captions, invert_vocab
-from ..metrics.evaluate import score_captions
+from ..metrics.evaluate import is_scalar_score, score_captions
 from ..models.decoding import greedy_decode
 from ..parallel import mesh as pmesh
 from ..utils.io import save_pickle
@@ -151,11 +151,22 @@ class RLTrainer(Trainer):
         self.init_rng, self.step_rng = jax.random.split(rng)
         self.state = create_train_state(cfg, self.init_rng)
 
+        # frozen CIDEr df (loss.py:112-116, df='coco-val'): prefer the
+        # table the features ETL wrote next to the splits, else the
+        # env/./data resolution inside metrics.cider
+        df_path = os.path.join(cfg.data.data_path, "coco-val-df.p")
         self.reward_computer = RewardComputer(
             word_to_idx,
             cider_reward_weight=cfg.rl.cider_reward_weight,
             bleu_reward_weight=cfg.rl.bleu_reward_weight,
-            self_cider_reward_weight=cfg.rl.self_cider_reward_weight)
+            self_cider_reward_weight=cfg.rl.self_cider_reward_weight,
+            cider_df=df_path if os.path.exists(df_path) else "coco-val")
+        if self.reward_computer.ciderD.df_fallback:
+            print("[rl] WARNING: frozen CIDEr df not found "
+                  f"({df_path}); RL rewards fall back to per-batch corpus "
+                  "df — a DIFFERENT reward scale than the reference "
+                  "(loss.py:112-116).  Run the 'features' ETL or "
+                  "scripts/build_cider_df.py to generate it.")
 
         # single-program mode needs runtime host-callback support; the
         # tunneled axon_pjrt runtime lacks it -> two-phase mode (sample on
@@ -238,8 +249,10 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
     d = cfg.data
     num_epochs = num_epochs or t.num_epochs
 
-    train_split = load_split(d.data_path, "train", verbose=verbose)
+    train_split = load_split(d.data_path, "train", verbose=verbose,
+                             streaming=d.stream_features)
     valid_split = load_split(d.data_path, "valid", verbose=verbose,
+                             streaming=d.stream_features,
                              load_references=True)
     word_to_idx = train_split.word_to_idx
     assert word_to_idx is not None, "train split must carry word_index.pkl"
@@ -324,7 +337,9 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
                                     verbose=verbose)
             write_scores(d.output_path, "valid", epoch, scores)
             for name, value in scores.items():
-                writer.write_scalar(f"metrics/valid_{name}", value, epoch)
+                if is_scalar_score(value):
+                    writer.write_scalar(f"metrics/valid_{name}", value,
+                                        epoch)
 
         if epoch % t.checkpoint_every_epochs == 0:
             ckpt.save(epoch, jax.device_get(trainer.state))

@@ -55,10 +55,69 @@ def load_hkl(path: str) -> np.ndarray:
         return np.asarray(ds[...])
 
 
+class HklDataset:
+    """Lazily-sliced view over a hickle/HDF5 array.
+
+    Streams batches straight from disk instead of materializing the whole
+    split (the reference — and our eager path — loads [110k, 37, 2048] f32
+    ≈ 33 GB into RAM for the real COCO train split, core/utils.py:45-46).
+    Supports the indexing the batch iterators use: slices, ints, and
+    arbitrary (unsorted, repeated) integer arrays — h5py fancy indexing
+    requires increasing unique indices, so gathers go through a
+    unique/inverse mapping.  NOT thread-safe; each reader thread must open
+    its own handle."""
+
+    def __init__(self, path: str, dtype=None):
+        import h5py
+        self._file = h5py.File(path, "r")
+        ds = _first_dataset(self._file)
+        if ds is None:
+            self._file.close()
+            raise ValueError(f"no dataset found in {path}")
+        self._ds = ds
+        self._dtype = np.dtype(dtype) if dtype is not None else ds.dtype
+
+    @property
+    def shape(self):
+        return self._ds.shape
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def __len__(self) -> int:
+        return self._ds.shape[0]
+
+    def __getitem__(self, idx) -> np.ndarray:
+        if isinstance(idx, (int, np.integer, slice)):
+            out = self._ds[idx]
+        else:
+            idx = np.asarray(idx)
+            uniq, inverse = np.unique(idx, return_inverse=True)
+            out = self._ds[uniq.tolist()][inverse]
+        return np.asarray(out, dtype=self._dtype)
+
+    def __array__(self, dtype=None, copy=None):
+        return np.asarray(self._ds[...], dtype=dtype or self._dtype)
+
+    def close(self) -> None:
+        self._file.close()
+
+
+def open_hkl(path: str, dtype=None) -> HklDataset:
+    """Open a feature shard for streamed (sliced) reads."""
+    return HklDataset(path, dtype=dtype)
+
+
 def save_hkl(array: np.ndarray, path: str,
              compression: str | None = "gzip") -> None:
     import h5py
+    array = np.asarray(array)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # per-row chunks: random-access row gathers (streamed training) touch
+    # exactly one chunk per image instead of h5py's auto multi-row chunks
+    chunks = (1,) + array.shape[1:] if array.ndim >= 2 and len(array) \
+        else None
     with h5py.File(path, "w") as f:
-        f.create_dataset("data", data=np.asarray(array),
-                         compression=compression)
+        f.create_dataset("data", data=array, compression=compression,
+                         chunks=chunks)

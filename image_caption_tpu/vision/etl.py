@@ -256,8 +256,19 @@ def run_etl(cfg: Config, *, coco_root: str,
                                              f"{split}.file.names.pkl"))
         save_pickle(build_image_indices(records, id_index),
                     os.path.join(out_dir, f"{split}.image.indices.pkl"))
-        save_pickle(build_references(records),
+        references = build_references(records)
+        save_pickle(references,
                     os.path.join(out_dir, f"{split}.references.pkl"))
+        if split == "valid":
+            # frozen CIDEr doc-frequency over the validation corpus — the
+            # table the reference's RL scorers are built with
+            # (df='coco-val', loss.py:112-116); RLTrainer loads it from
+            # {data_path}/coco-val-df.p
+            from ..metrics.cider import build_doc_frequency, \
+                save_doc_frequency
+            save_doc_frequency(build_doc_frequency(references.values()),
+                               os.path.join(d.data_path, "coco-val-df.p"))
+            print("[etl] valid: coco-val-df.p written")
         print(f"[etl] {split}: caption artifacts written")
 
         feats, poss = extract_split_features(

@@ -19,8 +19,6 @@ import pickle
 import sys
 from collections import defaultdict
 
-import numpy as np
-
 
 def iter_caption_groups(path):
     """Yield lists of captions per image from a references pickle
@@ -39,23 +37,13 @@ def iter_caption_groups(path):
 
 
 def main(src: str, dst: str) -> None:
-    from image_caption_tpu.metrics.cider import precook
+    from image_caption_tpu.metrics.cider import (build_doc_frequency,
+                                                 save_doc_frequency)
 
-    df = defaultdict(float)
-    n_docs = 0
-    for captions in iter_caption_groups(src):
-        n_docs += 1
-        seen = set()
-        for c in captions:
-            seen.update(precook(c, 4).keys())
-        for g in seen:
-            df[g] += 1.0
-
-    blob = {"document_frequency": dict(df),
-            "ref_len": float(np.log(max(n_docs, 1)))}
-    with open(dst, "wb") as f:
-        pickle.dump(blob, f, pickle.HIGHEST_PROTOCOL)
-    print(f"wrote df over {n_docs} documents ({len(df)} n-grams) to {dst}")
+    blob = build_doc_frequency(iter_caption_groups(src))
+    save_doc_frequency(blob, dst)
+    print(f"wrote df with {len(blob['document_frequency'])} n-grams "
+          f"(log ref_len {blob['ref_len']:.3f}) to {dst}")
 
 
 if __name__ == "__main__":

@@ -143,3 +143,66 @@ def test_self_cider_diversity_score_zero_for_single():
     from image_caption_tpu.rl.rewards import get_div
     gram = np.array([[4.0]])
     assert get_div(np.linalg.eigvalsh(gram / 10)) == 0.0
+
+
+def test_doc_frequency_roundtrip(tmp_path):
+    """VERDICT r1 #4: frozen df built by the ETL is loaded by the scorers
+    and changes reward scale vs per-batch corpus mode."""
+    from image_caption_tpu.metrics.cider import (CiderD, build_doc_frequency,
+                                                 save_doc_frequency)
+    groups = [["a man rides a horse", "a person on a horse"],
+              ["a dog runs", "the dog is running fast"],
+              ["a man walks a dog", "a person walking with a dog"]]
+    blob = build_doc_frequency(groups)
+    assert ("a",) in blob["document_frequency"]
+    assert blob["document_frequency"][("a",)] == 3.0   # in all 3 docs
+    assert abs(blob["ref_len"] - np.log(3.0)) < 1e-12
+
+    path = tmp_path / "coco-val-df.p"
+    save_doc_frequency(blob, str(path))
+
+    frozen = CiderD(df=str(path))
+    assert not frozen.df_fallback
+    corpus = CiderD()   # df='corpus'
+    gts = {0: ["a man rides a horse"], 1: ["a dog runs"]}
+    res = {0: ["a man on a horse"], 1: ["the dog runs"]}
+    _, s_frozen = frozen.compute_score(gts, res)
+    _, s_corpus = corpus.compute_score(gts, res)
+    # different df tables -> different reward scale
+    assert not np.allclose(s_frozen, s_corpus)
+
+
+def test_reward_computer_uses_frozen_df(tmp_path):
+    from image_caption_tpu.metrics.cider import (build_doc_frequency,
+                                                 save_doc_frequency)
+    from image_caption_tpu.rl.rewards import RewardComputer
+    path = tmp_path / "coco-val-df.p"
+    save_doc_frequency(build_doc_frequency([["w4 w5 w6"], ["w4 w7"]]),
+                       str(path))
+    word_to_idx = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3,
+                   "w4": 4, "w5": 5, "w6": 6, "w7": 7}
+    rc = RewardComputer(word_to_idx, cider_df=str(path))
+    assert not rc.ciderD.df_fallback
+    assert rc.cider.doc_frequency is not None
+    sample = np.array([[1, 4, 5, 2, 0, 0]], dtype=np.int32)
+    target = np.array([[4, 5, 6, 2, 0, 0]], dtype=np.int32)
+    scores = rc.structure_scores(sample, target)
+    assert scores.shape == (1,)
+    assert np.isfinite(scores).all()
+
+
+def test_score_captions_marks_skipped_meteor(tmp_path, monkeypatch):
+    """VERDICT r1 #10: jar-gated metrics appear as 'skipped (...)' in the
+    result so write_scores records them in {split}_scores.txt."""
+    from image_caption_tpu.metrics.evaluate import (is_scalar_score,
+                                                    score_captions)
+    from image_caption_tpu.train.logging import write_scores
+    gts = {0: ["a b c"]}
+    res = {0: ["a b c"]}
+    scores = score_captions(gts, res, verbose=False)
+    assert "BLEU_4" in scores and is_scalar_score(scores["BLEU_4"])
+    if not is_scalar_score(scores.get("METEOR")):
+        assert str(scores["METEOR"]).startswith("skipped")
+    write_scores(str(tmp_path), "valid", 1, scores)
+    text = (tmp_path / "valid_scores.txt").read_text()
+    assert "valid_METEOR:" in text

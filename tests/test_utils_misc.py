@@ -87,3 +87,42 @@ def test_synthetic_dataset_loads_back(tmp_path):
     assert split.word_to_idx == vocab
     assert split.references is not None
     assert split.features.shape[1:] == (37, 2048)
+
+
+def test_streamed_split_matches_eager(tmp_path):
+    """VERDICT r1 #6: streamed (HDF5-sliced) feature reads produce the
+    same batches as eager in-RAM arrays, including unsorted/repeated
+    per-caption image gathers."""
+    import numpy as np
+    from image_caption_tpu.data.dataset import (CaptionBatches, ImageBatches,
+                                                load_split)
+    from image_caption_tpu.utils.io import save_hkl, save_pickle
+
+    rng = np.random.RandomState(0)
+    n_img, n_cap, s, f, p, L = 7, 19, 5, 16, 8, 10
+    d = tmp_path / "train"
+    save_hkl(rng.randn(n_img, s, f).astype(np.float32),
+             str(d / "train.features.hkl"))
+    save_hkl(rng.rand(n_img, s, p).astype(np.float32),
+             str(d / "train.positions.hkl"))
+    save_pickle(rng.randint(0, 30, size=(n_cap, L)).astype(np.int32),
+                str(d / "train.captions.pkl"))
+    save_pickle(rng.randint(0, n_img, size=n_cap),
+                str(d / "train.image.indices.pkl"))
+    save_pickle(np.array([f"img{i}.jpg" for i in range(n_img)]),
+                str(d / "train.file.names.pkl"))
+    save_pickle({"<NULL>": 0, "<START>": 1}, str(d / "word_index.pkl"))
+
+    eager = load_split(str(tmp_path), "train", verbose=False,
+                       streaming="never")
+    lazy = load_split(str(tmp_path), "train", verbose=False,
+                      streaming="always")
+    assert lazy.num_images == n_img and lazy.num_captions == n_cap
+    assert not isinstance(lazy.features, np.ndarray)
+
+    for mk in (lambda sp: CaptionBatches(sp, batch_size=4, shuffle=True,
+                                         seed=3),
+               lambda sp: ImageBatches(sp, batch_size=4)):
+        for be, bl in zip(mk(eager), mk(lazy)):
+            for a, b in zip(be, bl):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
