@@ -76,6 +76,13 @@ def generate_synthetic_dataset(
         save_pickle(references, os.path.join(d, f"{split}.references.pkl"))
         if split == "train":
             save_pickle(word_to_idx, os.path.join(d, "word_index.pkl"))
+        if split == "valid":
+            # frozen CIDEr df over the valid references, like the real ETL
+            # (loss.py:112-116 df='coco-val'; RLTrainer loads this file)
+            from ..metrics.cider import build_doc_frequency, \
+                save_doc_frequency
+            save_doc_frequency(build_doc_frequency(references.values()),
+                               os.path.join(data_path, "coco-val-df.p"))
     return word_to_idx
 
 

@@ -7,11 +7,19 @@ static top-k + suppression matrix:
 
   1. per-cell score = objectness * max class prob; conf-threshold mask;
   2. top-``pre_nms`` candidates by score (static k);
-  3. class-aware suppression: an O(k^2) IoU matrix (k <= 256 — tiny on the
-     VPU) and a sequential keep-scan over score order;
+  3. class-aware greedy suppression: an O(k^2) IoU matrix (tiny on the
+     VPU) and a ``max_det``-step pick-argmax-then-suppress scan — each
+     step takes the best unsuppressed candidate and masks its overlaps,
+     which reproduces greedy NMS's first ``max_det`` keeps exactly while
+     scanning ``max_det`` (36) steps instead of all k candidates;
   4. emit exactly ``max_det`` boxes, zero-padded, with a validity mask.
 
-Matches torchvision-style hard NMS decisions for the kept set.
+Matches torchvision-style hard NMS decisions for the kept set (verified
+against ``torchvision.ops.nms`` under the ultralytics candidate rule in
+tests/test_nms_oracle.py).  Note the ultralytics objectness-first
+threshold (obj > t, then obj*cls > t) selects the SAME candidate set as
+our single obj*maxcls > t test: class probabilities are sigmoids <= 1, so
+obj*cls > t already implies obj > t.
 """
 
 from __future__ import annotations
@@ -52,7 +60,7 @@ def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
               classes: jnp.ndarray, *, iou_thres: float = 0.45,
               conf_thres: float = 0.01, max_det: int = 36,
-              pre_nms: int = 256) -> Detections:
+              pre_nms: int = 512) -> Detections:
     """Single-image class-aware NMS with static shapes.
 
     boxes_xyxy [N,4], scores [N], classes [N] int32.
@@ -74,23 +82,22 @@ def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
 
     iou = iou_matrix(shifted, shifted)
 
-    def body(i, keep):
-        # suppressed if any higher-scoring kept box overlaps > thres
-        overlap = (iou[i] > iou_thres) & keep
-        higher = jnp.arange(k) < i
-        suppressed = jnp.any(overlap & higher)
-        return keep.at[i].set(keep[i] & ~suppressed)
+    # greedy NMS emitting exactly max_det picks: each step takes the
+    # highest-scoring available candidate, then masks out everything it
+    # overlaps (including itself, IoU 1).  Identical keeps to the
+    # classical score-order sweep, in max_det steps instead of k.
+    def body(avail, _):
+        score_m = jnp.where(avail, top_scores, -2.0)
+        i = jnp.argmax(score_m)
+        ok = score_m[i] > conf_thres
+        avail = avail & ~(iou[i] > iou_thres) & (jnp.arange(k) != i)
+        return avail, (i, ok)
 
-    keep = jax.lax.fori_loop(0, k, body, top_valid)
-
-    # compact kept boxes to the front, pad to max_det
-    order = jnp.argsort(~keep, stable=True)               # kept first
-    keep_sorted = keep[order]
-    boxes_out = top_boxes[order][:max_det]
-    scores_out = jnp.where(keep_sorted, top_scores[order], 0.0)[:max_det]
-    classes_out = jnp.where(keep_sorted, top_classes[order], 0)[:max_det]
-    valid_out = keep_sorted[:max_det]
-    boxes_out = jnp.where(valid_out[:, None], boxes_out, 0.0)
+    _, (picks, valid_out) = jax.lax.scan(body, top_valid, None,
+                                         length=max_det)
+    boxes_out = jnp.where(valid_out[:, None], top_boxes[picks], 0.0)
+    scores_out = jnp.where(valid_out, top_scores[picks], 0.0)
+    classes_out = jnp.where(valid_out, top_classes[picks], 0)
     return Detections(boxes=boxes_out, scores=scores_out,
                       classes=classes_out.astype(jnp.int32),
                       valid=valid_out)
@@ -99,7 +106,7 @@ def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
 @partial(jax.jit, static_argnames=("max_det", "pre_nms", "num_classes"))
 def yolo_postprocess(pred: jnp.ndarray, *, num_classes: int = 80,
                      iou_thres: float = 0.45, conf_thres: float = 0.01,
-                     max_det: int = 36, pre_nms: int = 256) -> Detections:
+                     max_det: int = 36, pre_nms: int = 512) -> Detections:
     """YOLO head output [N, 5+C] (xywh, obj, class probs) -> Detections.
 
     Score = obj * max class prob, class = argmax (single-label mode, the
