@@ -139,6 +139,11 @@ class DataConfig:
     # threshold from disk, 'never' = reference behavior (whole split in
     # RAM, core/utils.py:45-46), 'always' = force streamed reads
     stream_features: str = "auto"
+    # YOLO letterbox mode: False = square 640 canvas (static-shape
+    # default), True = ultralytics auto-rect geometry with cells beyond
+    # the content rect masked (reference LoadImages parity,
+    # detect_for_preprocess.py:55,66; see docs/parity.md)
+    rect_letterbox: bool = False
 
     @property
     def word_to_idx_path(self) -> str:

@@ -116,6 +116,21 @@ def shard_params(mesh: Mesh, params):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place host batch arrays with batch-dim sharding over `data`."""
+    """Place host batch arrays with batch-dim sharding over `data`.
+
+    Multi-process (pod) runs: every host assembles the same global batch
+    (all hosts read the same dataset), and each host materializes ONLY the
+    shards its own devices address — per-host input sharding without any
+    assumption about device-to-process contiguity
+    (``make_array_from_callback`` hands each host exactly its slice
+    indices).  Single-process runs keep the plain ``device_put``."""
     s = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s),
+                                      batch)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s,
+                                            lambda idx: x[idx])
+    return jax.tree_util.tree_map(put, batch)

@@ -95,11 +95,12 @@ class RewardComputer:
         else:
             cider_scores = 0.0
         if self.bleu_w > 0:
-            try:
-                _, bleu_all = self.bleu.compute_score(gts, res)
-                bleu_scores = np.array(bleu_all[3])
-            except Exception:
-                bleu_scores = 0.0
+            # the reference swallows BLEU failures bare (loss.py:176-181)
+            # — a hazard SURVEY §5 says not to replicate.  Our vendored
+            # scorer handles empty strings, so any exception here is a
+            # real bug: let it propagate.
+            _, bleu_all = self.bleu.compute_score(gts, res)
+            bleu_scores = np.array(bleu_all[3])
         else:
             bleu_scores = 0.0
         return (self.cider_w * np.asarray(cider_scores)

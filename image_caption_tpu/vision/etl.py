@@ -27,7 +27,7 @@ from ..config import Config
 from ..data.tokenizer import clean_caption, tokenize_caption
 from ..data.vocab import build_caption_vector, build_vocab
 from ..utils.io import save_hkl, save_pickle
-from .ops import letterbox_params
+from .ops import letterbox_params, letterbox_params_rect
 
 
 # ---------------------------------------------------------------------------
@@ -91,19 +91,29 @@ def build_references(records: Sequence[Dict]) -> Dict[int, List[str]]:
 # Image feature extraction (host IO pool + device batches)
 # ---------------------------------------------------------------------------
 
-def _load_letterboxed(path: str, size: int = 640
+def _load_letterboxed(path: str, size: int = 640, rect: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode + letterbox one image on host (PIL).  Returns
-    (canvas [S,S,3] f32, meta [scale,top,left], (h,w))."""
+    (canvas [S,S,3] f32, meta, (h,w)); meta is [scale,top,left] for the
+    square letterbox or [scale,top,left,rect_h,rect_w] for the
+    ultralytics rectangular mode (reference LoadImages geometry,
+    detect_for_preprocess.py:55,66) — the rect content sits at the
+    canvas top-left and the pipeline masks detector cells beyond it."""
     from PIL import Image
     with Image.open(path) as im:
         im = im.convert("RGB")
         w, h = im.size
-        r, nh, nw, top, left = letterbox_params(h, w, size)
+        if rect:
+            r, nh, nw, top, left, rect_h, rect_w = letterbox_params_rect(
+                h, w, size)
+        else:
+            r, nh, nw, top, left = letterbox_params(h, w, size)
         resized = im.resize((nw, nh), Image.BILINEAR)
     canvas = np.full((size, size, 3), 114.0, np.float32)
     canvas[top:top + nh, left:left + nw] = np.asarray(resized, np.float32)
-    return canvas, np.asarray([r, top, left], np.float32), \
+    meta = (np.asarray([r, top, left, rect_h, rect_w], np.float32) if rect
+            else np.asarray([r, top, left], np.float32))
+    return canvas, meta, \
         np.asarray([h, w], np.float32)
 
 
@@ -116,6 +126,7 @@ def extract_split_features(image_paths: Sequence[str], *,
                            num_workers: int = 8,
                            num_position_dims: int = 84,
                            image_model: str = "YOLOv5",
+                           rect_letterbox: bool = False,
                            verbose: bool = True
                            ) -> Tuple[np.ndarray, np.ndarray]:
     """All images of a split -> ([N, S, 2048], [N, S, P]) arrays."""
@@ -139,7 +150,9 @@ def extract_split_features(image_paths: Sequence[str], *,
         for start in range(0, n, batch_size):
             paths = image_paths[start:start + batch_size]
             loaded = list(pool.map(
-                lambda p: _load_letterboxed(p, canvas_size), paths))
+                lambda p: _load_letterboxed(p, canvas_size,
+                                            rect=rect_letterbox and
+                                            not frcnn), paths))
             real = len(loaded)
             canvases = np.stack([c for c, _, _ in loaded])
             metas = np.stack([m for _, m, _ in loaded])
@@ -275,6 +288,7 @@ def run_etl(cfg: Config, *, coco_root: str,
             list(file_names), extractor_params=extractor,
             num_objects=cfg.model.num_objects, max_obj=d.max_obj,
             batch_size=batch_size, image_model=d.image_model,
+            rect_letterbox=d.rect_letterbox,
             num_position_dims=cfg.model.dim_positions)
         save_hkl(feats, os.path.join(out_dir, f"{split}.features.hkl"))
         save_hkl(poss, os.path.join(out_dir, f"{split}.positions.hkl"))

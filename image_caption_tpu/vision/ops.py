@@ -72,6 +72,26 @@ def letterbox_params(h: int, w: int, size: int
     return r, nh, nw, top, left
 
 
+def letterbox_params_rect(h: int, w: int, size: int, stride: int = 32
+                          ) -> Tuple[float, int, int, int, int, int, int]:
+    """Ultralytics `auto=True` rectangular letterbox geometry — what the
+    reference's LoadImages applies (detect_for_preprocess.py:55,66 ->
+    yolov5 utils.datasets.letterbox): scale to fit, then pad the short
+    side only to the next multiple of ``stride``, split evenly with the
+    0.1-offset rounding.  Returns (r, nh, nw, top, left, rect_h, rect_w);
+    the network input is the (rect_h, rect_w) region — embed it at the
+    top-left of the static size x size canvas and mask detector cells
+    beyond it."""
+    r = min(size / h, size / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    dh, dw = (size - nh) % stride, (size - nw) % stride
+    top = int(round(dh / 2 - 0.1))
+    bottom = int(round(dh / 2 + 0.1))
+    left = int(round(dw / 2 - 0.1))
+    right = int(round(dw / 2 + 0.1))
+    return r, nh, nw, top, left, nh + top + bottom, nw + left + right
+
+
 @partial(jax.jit, static_argnames=("size", "method"))
 def letterbox_image(image: jnp.ndarray, size: int = 640,
                     method: str = "linear",

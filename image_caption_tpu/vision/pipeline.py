@@ -15,9 +15,10 @@ batched XLA program:
 
 Fidelity quirks preserved behind flags:
   * ``cap_half``: keep only num_obj//2 detections (reference default);
-  * ``max_obj``: keep the max_obj largest-area crops but blank every
-    position row except slot 0 (preprocess.py:105-110 — the cached-dataset
-    configuration);
+  * ``max_obj``: keep the max_obj largest-area crops compacted into slots
+    1..max_obj in area order, and keep exactly TWO position rows — the
+    whole-image row and the largest detection's row
+    (preprocess.py:105-123 — the cached-dataset configuration);
   * position rows = [x1/W, y1/H, x2/W, y2/H] + conf one-hot at the class
     index (detect_for_preprocess.py:134-138); whole-image row =
     [0,0,1,1] + zeros (preprocess.py:112-123).
@@ -102,7 +103,11 @@ def extract_features_batch(params: ExtractorParams,
     """The whole pipeline for a batch.
 
     canvases  [B, 640, 640, 3] float32 RGB 0..255 (letterboxed);
-    metas     [B, 3] (scale, top, left) from ``letterbox_image``;
+    metas     [B, 3] (scale, top, left) from ``letterbox_image``, or
+              [B, 5] (scale, top, left, rect_h, rect_w) from the
+              rectangular-letterbox loader — rect metas mask detector
+              cells beyond the content rect (ultralytics auto-letterbox
+              parity, detect_for_preprocess.py:55,66);
     orig_sizes[B, 2] (h, w) original pixels.
     Returns (features [B, S, 2048], positions [B, S, 4+C], xyxy [B, K, 4])
     with S = num_objects + 1.  ``compute_dtype`` defaults to bfloat16 —
@@ -114,10 +119,12 @@ def extract_features_batch(params: ExtractorParams,
     k = num_objects            # detector slots
 
     from .yolov5 import stem_is_focus
+    rect_hw = metas[:, 3:5] if metas.shape[1] >= 5 else None
     det: Detections = yolov5_detect(params.yolo, canvases / 255.0,
                                     max_det=k, num_classes=num_classes,
                                     focus_stem=stem_is_focus(params.yolo),
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    rect_hw=rect_hw)
     valid = det.valid
     if cap_half:
         # reference keeps only num_obj // 2 detections
@@ -129,35 +136,47 @@ def extract_features_batch(params: ExtractorParams,
     ow = orig_sizes[:, 1].astype(jnp.float32)
     boxes_orig = jax.vmap(unletterbox_boxes)(det.boxes, metas, oh, ow)
 
+    # ---- select which detections get a ResNet crop ------------------
+    # ResNet-101 over crops is the pipeline's FLOP budget; slots that can
+    # never carry a feature (beyond the cap_half prefix — NMS compacts
+    # kept boxes to the front — or outside the max_obj top-area set) are
+    # never cropped or encoded.
     if max_obj is not None:
-        # keep the max_obj largest-area boxes (preprocess.py:105-110)
+        # the max_obj largest-area boxes, area-descending — the
+        # reference sorts by area and keeps the first max_obj crops
+        # COMPACTED into slots 1..max_obj (preprocess.py:105-110)
         area = (boxes_orig[..., 2] - boxes_orig[..., 0]) * \
                (boxes_orig[..., 3] - boxes_orig[..., 1])
         area = jnp.where(valid, area, -1.0)
-        _, top_idx = jax.lax.top_k(area, max_obj)
-        take = jnp.zeros_like(valid).at[
-            jnp.arange(b)[:, None], top_idx].set(True)
-        valid = valid & take
+        _, top_idx = jax.lax.top_k(area, max_obj)            # [B, M]
+        sel_valid = jnp.take_along_axis(valid, top_idx, axis=1)
+        det_crop_boxes = jnp.take_along_axis(
+            det.boxes, top_idx[..., None], axis=1)           # canvas px
+    else:
+        n_det = num_objects // 2 if cap_half else num_objects
+        sel_valid = valid[:, :n_det]
+        det_crop_boxes = det.boxes[:, :n_det]
 
     # ---- crops: slot 0 = the whole letterboxed content region ----
     r, top, left = metas[:, 0], metas[:, 1], metas[:, 2]
     full_box = jnp.stack([left, top, left + ow * r, top + oh * r], axis=-1)
-    canvas_boxes = det.boxes                      # canvas coords
-    all_boxes = jnp.concatenate([full_box[:, None, :], canvas_boxes],
-                                axis=1)           # [B, 1+K, 4]
+    crop_boxes = jnp.concatenate([full_box[:, None, :], det_crop_boxes],
+                                 axis=1)          # [B, 1+M, 4]
+    m = crop_boxes.shape[1]
 
     crops = jax.vmap(lambda im, bx: crop_and_resize(im, bx, crop_size)
-                     )(canvases, all_boxes)       # [B, 1+K, S, S, 3]
+                     )(canvases, crop_boxes)      # [B, 1+M, S, S, 3]
     crops = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
-    flat = crops.reshape(b * (1 + k), crop_size, crop_size, 3)
-    feats = resnet_features(params.resnet, flat,
-                            compute_dtype=compute_dtype
-                            ).reshape(b, 1 + k, -1)
+    flat = crops.reshape(b * m, crop_size, crop_size, 3)
+    feats_sel = resnet_features(params.resnet, flat,
+                                compute_dtype=compute_dtype
+                                ).reshape(b, m, -1)
 
     slot_valid = jnp.concatenate(
-        [jnp.ones((b, 1), bool), valid], axis=1)  # [B, 1+K]
-    feats = feats * slot_valid[..., None]
+        [jnp.ones((b, 1), bool), sel_valid], axis=1)  # [B, 1+M]
+    feats_sel = feats_sel * slot_valid[..., None]
+    feats = jnp.pad(feats_sel, ((0, 0), (0, s - m), (0, 0)))
 
     # ---- positions ----
     pos_obj = jax.vmap(_position_rows, in_axes=(0, 0, 0, 0, 0, 0, None))(
@@ -165,13 +184,23 @@ def extract_features_batch(params: ExtractorParams,
     full_row = jnp.concatenate(
         [jnp.asarray([0.0, 0.0, 1.0, 1.0]),
          jnp.zeros((num_classes,))])[None, None, :]
-    positions = jnp.concatenate(
-        [jnp.broadcast_to(full_row, (b, 1, 4 + num_classes)), pos_obj],
-        axis=1)
 
     if max_obj is not None:
-        # cached-dataset quirk: only position row 0 survives
-        positions = positions * (jnp.arange(s) == 0)[None, :, None]
+        # cached-dataset quirk (preprocess.py:105-123): exactly TWO
+        # position rows survive — the whole-image row and the
+        # largest-area detection's row (``positions = [positions[0]]``
+        # after the area sort, then the whole-image row is prepended)
+        row1 = jnp.take_along_axis(
+            pos_obj, top_idx[:, :1, None], axis=1)           # [B,1,4+C]
+        row1 = row1 * sel_valid[:, :1, None]
+        pos_tail = jnp.zeros((b, s - 2, 4 + num_classes))
+        positions = jnp.concatenate(
+            [jnp.broadcast_to(full_row, (b, 1, 4 + num_classes)),
+             row1, pos_tail], axis=1)
+    else:
+        positions = jnp.concatenate(
+            [jnp.broadcast_to(full_row, (b, 1, 4 + num_classes)), pos_obj],
+            axis=1)
 
     # shape contract: S = num_objects + 1 slots (preprocess.py:125-134)
     feats = feats[:, :s]
@@ -285,11 +314,13 @@ _EXTRACTORS: Dict = {}
 def extract_single_image(path: str, *, image_model: str = "YOLOv5",
                          num_objects: int = 36,
                          max_obj: Optional[int] = None,
-                         weights_dir: Optional[str] = None
+                         weights_dir: Optional[str] = None,
+                         rect: bool = False
                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """``MODEL.preprocess`` equivalent (core/models.py:70-78): one image ->
     (features [S,2048], positions [S,P], boxes_xyxy).  FasterRCNN routing
-    shares the YOLO slot contract with 91-class rows."""
+    shares the YOLO slot contract with 91-class rows.  ``rect`` selects
+    the ultralytics rectangular letterbox (YOLO path only)."""
     if image_model not in ("YOLOv5", "FasterRCNN"):
         raise ValueError(image_model)
     img = load_image_rgb(path).astype(np.float32)
@@ -307,7 +338,12 @@ def extract_single_image(path: str, *, image_model: str = "YOLOv5",
         key = ("yolo", weights_dir or "_random")
         if key not in _EXTRACTORS:
             _EXTRACTORS[key] = load_extractor(weights_dir)
-        canvas, meta = letterbox_image(jnp.asarray(img), 640)
+        if rect:
+            from .etl import _load_letterboxed
+            canvas_np, meta_np, _ = _load_letterboxed(path, 640, rect=True)
+            canvas, meta = jnp.asarray(canvas_np), jnp.asarray(meta_np)
+        else:
+            canvas, meta = letterbox_image(jnp.asarray(img), 640)
         feats, poss, boxes = extract_features_batch(
             _EXTRACTORS[key], canvas[None], meta[None],
             jnp.asarray([[h, w]], jnp.float32),

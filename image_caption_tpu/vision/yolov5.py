@@ -246,8 +246,15 @@ def yolov5_raw(params: Params, images: jnp.ndarray,
 
 def decode_predictions(params: Params,
                        raw: Sequence[jnp.ndarray], *,
-                       num_classes: int = 80) -> jnp.ndarray:
-    """Anchor decode -> [B, total_cells*3, 5+C] (xywh canvas px, obj, cls)."""
+                       num_classes: int = 80,
+                       rect_hw=None) -> jnp.ndarray:
+    """Anchor decode -> [B, total_cells*3, 5+C] (xywh canvas px, obj, cls).
+
+    ``rect_hw`` [B, 2] masks cells outside a rectangular-letterbox content
+    region: the reference's LoadImages feeds the network only the
+    stride-32-padded rect (detect_for_preprocess.py:55,66), so on our
+    static square canvas the cells beyond it must not produce candidates
+    (their objectness is zeroed)."""
     nc = num_classes
     anchors = params["detect"]["anchors"]
     outs = []
@@ -261,7 +268,12 @@ def decode_predictions(params: Params,
         xy = (y[..., :2] * 2.0 - 0.5 + grid) * stride
         wh = jnp.square(y[..., 2:4] * 2.0) * anchors[scale][None, None,
                                                             None, :, :]
-        out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+        obj = y[..., 4:5]
+        if rect_hw is not None:
+            in_rect = ((gy * stride < rect_hw[:, None, None, 0]) &
+                       (gx * stride < rect_hw[:, None, None, 1]))
+            obj = obj * in_rect[..., None, None]
+        out = jnp.concatenate([xy, wh, obj, y[..., 5:]], axis=-1)
         outs.append(out.reshape(b, h * w * 3, 5 + nc))
     return jnp.concatenate(outs, axis=1)
 
@@ -273,13 +285,16 @@ def yolov5_detect(params: Params, images: jnp.ndarray, *,
                   conf_thres: float = 0.01, iou_thres: float = 0.45,
                   max_det: int = 36, num_classes: int = 80,
                   focus_stem: bool = False,
-                  compute_dtype=jnp.float32) -> Detections:
+                  compute_dtype=jnp.float32,
+                  rect_hw=None) -> Detections:
     """Batched detect: [B,S,S,3] in [0,1] -> Detections (leading dim B).
 
     Reference thresholds: conf 0.01 / iou 0.45
-    (detect_for_preprocess.py:28-29)."""
+    (detect_for_preprocess.py:28-29).  ``rect_hw`` [B,2] enables the
+    rectangular-letterbox cell mask (see decode_predictions)."""
     raw = yolov5_raw(params, images, compute_dtype, focus_stem=focus_stem)
-    preds = decode_predictions(params, raw, num_classes=num_classes)
+    preds = decode_predictions(params, raw, num_classes=num_classes,
+                               rect_hw=rect_hw)
     return jax.vmap(lambda p: yolo_postprocess(
         p, num_classes=num_classes, iou_thres=iou_thres,
         conf_thres=conf_thres, max_det=max_det))(preds)

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Multi-process (pod-style) dry run on CPU devices.
+
+Validates the multi-host wiring (SURVEY §2.11 TPU-build plan): N python
+processes each own a slice of a virtual device mesh, every host feeds its
+own shards of the global batch (``parallel.mesh.shard_batch``), and one
+sharded XE train step produces the SAME loss as a single-process run.
+
+Worker mode (spawned N times):
+    python scripts/dryrun_multiprocess.py worker <coord> <nprocs> <pid> \
+        <devices_per_proc>
+prints ``loss=<float>`` on process 0.
+
+Driver mode (spawns the workers, also runs the single-process baseline):
+    python scripts/dryrun_multiprocess.py [nprocs] [devices_per_proc]
+exits 0 iff every worker agrees with the baseline loss.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _force_cpu(n_devices: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    flags = " ".join(f for f in flags.split()
+                     if "host_platform_device_count" not in f)
+    os.environ["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _run_step():
+    """Deterministic tiny XE step on the full (data x model) mesh."""
+    import jax
+    import numpy as np
+
+    from image_caption_tpu.config import get_preset
+    from image_caption_tpu.parallel import mesh as pmesh
+    from image_caption_tpu.train.loop import Trainer
+
+    cfg = get_preset("maxlen49_64").with_overrides(**{
+        "model.num_vocab": 40, "model.max_length": 13,
+        "model.num_objects": 6, "train.seed": 0})
+    n = len(jax.devices())
+    mesh = pmesh.make_mesh(data=n // 2, model=2)
+    trainer = Trainer(cfg, mesh=mesh, rng=jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    b, m = 16, cfg.model
+    feats = rng.randn(b, m.num_slots, m.dim_features).astype(np.float32)
+    poss = rng.rand(b, m.num_slots, m.dim_positions).astype(np.float32)
+    caps = rng.randint(3, m.num_vocab, size=(b, m.max_length)
+                       ).astype(np.int32)
+    caps[:, 0] = 1
+    metrics = trainer.train_step(feats, poss, caps)
+    return float(metrics["loss"])
+
+
+def worker(coord: str, nprocs: int, pid: int, devs: int) -> None:
+    _force_cpu(devs)
+    import jax
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == nprocs * devs
+    loss = _run_step()
+    if pid == 0:
+        print(f"loss={loss:.6f}", flush=True)
+
+
+def driver(nprocs: int = 2, devs: int = 4) -> int:
+    # single-process baseline on the same total device count
+    base = subprocess.run(
+        [sys.executable, __file__, "worker", "none", "1", "0",
+         str(nprocs * devs)],
+        capture_output=True, text=True, timeout=600)
+    assert base.returncode == 0, base.stderr[-2000:]
+    base_loss = float(base.stdout.strip().split("loss=")[1])
+
+    coord = "localhost:12989"
+    procs = [subprocess.Popen(
+        [sys.executable, __file__, "worker", coord, str(nprocs), str(i),
+         str(devs)], stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(nprocs)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+    multi_loss = float(outs[0][0].strip().split("loss=")[1])
+
+    ok = abs(multi_loss - base_loss) < 1e-5
+    print(f"single={base_loss:.6f} multi({nprocs}x{devs})={multi_loss:.6f}"
+          f" {'OK' if ok else 'MISMATCH'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        coord, nprocs, pid, devs = sys.argv[2:6]
+        if int(nprocs) == 1:
+            _force_cpu(int(devs))
+            loss = _run_step()
+            print(f"loss={loss:.6f}", flush=True)
+        else:
+            worker(coord, int(nprocs), int(pid), int(devs))
+    else:
+        nprocs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+        devs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        sys.exit(driver(nprocs, devs))

@@ -1,0 +1,25 @@
+"""Multi-process (pod-style) input sharding produces single-process loss.
+
+VERDICT r1 #5: the train loop's batch placement (`parallel.mesh.shard_batch`)
+must work when the mesh spans multiple processes — each host materializes
+only its own shards of the global batch.  The dryrun spawns 2 CPU
+processes x 4 virtual devices via ``jax.distributed`` and compares one
+sharded XE train-step loss against the 8-device single-process run.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCRIPT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts", "dryrun_multiprocess.py")
+
+
+@pytest.mark.slow
+def test_two_process_loss_matches_single_process():
+    r = subprocess.run([sys.executable, SCRIPT, "2", "4"],
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "OK" in r.stdout

@@ -1,0 +1,90 @@
+"""Extraction-pipeline slot contract on tiny random backbones (CPU-fast).
+
+Pins the reference's feature/position assembly semantics
+(core/preprocess.py:91-138) after the dead-crop elimination: ResNet only
+runs on slots that can carry a feature, and the ``max_obj`` cached-dataset
+quirk keeps exactly TWO position rows (whole image + largest detection,
+preprocess.py:105-123) with crops compacted into slots 1..max_obj in
+area-descending order.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_caption_tpu.vision.pipeline import (ExtractorParams,
+                                               extract_features_batch)
+
+
+@pytest.fixture(scope="module")
+def tiny_extractor():
+    from image_caption_tpu.vision.resnet import init_resnet
+    from image_caption_tpu.vision.yolov5 import init_yolov5
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    return ExtractorParams(
+        yolo=init_yolov5(k1, depth_multiple=0.33, width_multiple=0.25),
+        resnet=init_resnet(k2, stages=(1, 1, 1, 1)))
+
+
+def _inputs(b=2, size=64, seed=0):
+    rng = np.random.RandomState(seed)
+    canvases = jnp.asarray(
+        rng.rand(b, size, size, 3).astype(np.float32) * 255.0)
+    metas = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (b, 1))
+    sizes = jnp.tile(jnp.asarray([[float(size), float(size)]], jnp.float32),
+                     (b, 1))
+    return canvases, metas, sizes
+
+
+def test_max_obj_two_position_rows_and_compaction(tiny_extractor):
+    canvases, metas, sizes = _inputs()
+    feats, poss, boxes = extract_features_batch(
+        tiny_extractor, canvases, metas, sizes, num_objects=8, max_obj=3,
+        crop_size=32, compute_dtype=jnp.float32)
+    feats, poss = np.asarray(feats), np.asarray(poss)
+    assert feats.shape == (2, 9, feats.shape[-1])
+    assert poss.shape == (2, 9, 84)
+
+    # row 0 = whole-image [0,0,1,1]+zeros; rows 2.. all zero
+    np.testing.assert_array_equal(poss[:, 0, :4], [[0, 0, 1, 1]] * 2)
+    assert np.all(poss[:, 0, 4:] == 0)
+    assert np.all(poss[:, 2:] == 0)
+
+    # features live only in slots 0..max_obj (compacted)
+    assert np.all(feats[:, 4:] == 0)
+    assert np.all(np.abs(feats[:, 0]).sum(-1) > 0)
+
+    # row 1 = the largest-area kept detection's position row (when any
+    # detection is valid its row must be nonzero)
+    any_det = np.abs(feats[:, 1]).sum(-1) > 0
+    row1_nonzero = np.abs(poss[:, 1]).sum(-1) > 0
+    np.testing.assert_array_equal(any_det, row1_nonzero)
+
+
+def test_cap_half_limits_feature_slots(tiny_extractor):
+    canvases, metas, sizes = _inputs(seed=3)
+    feats, poss, _ = extract_features_batch(
+        tiny_extractor, canvases, metas, sizes, num_objects=8,
+        cap_half=True, crop_size=32, compute_dtype=jnp.float32)
+    feats, poss = np.asarray(feats), np.asarray(poss)
+    # num_obj // 2 = 4 detector slots + whole image
+    assert np.all(feats[:, 5:] == 0)
+    assert np.all(poss[:, 5:] == 0)
+    assert np.all(np.abs(feats[:, 0]).sum(-1) > 0)
+    # feature slots and position rows agree about which slots are live
+    live_f = np.abs(feats[:, 1:5]).sum(-1) > 0
+    live_p = np.abs(poss[:, 1:5]).sum(-1) > 0
+    np.testing.assert_array_equal(live_f, live_p)
+
+
+def test_full_slots_when_uncapped(tiny_extractor):
+    canvases, metas, sizes = _inputs(seed=5)
+    feats, poss, _ = extract_features_batch(
+        tiny_extractor, canvases, metas, sizes, num_objects=8,
+        cap_half=False, crop_size=32, compute_dtype=jnp.float32)
+    feats = np.asarray(feats)
+    assert feats.shape[1] == 9
+    # random-init detector at conf 0.01 fires plenty: all 8 slots live
+    assert np.all(np.abs(feats[:, 1:]).sum(-1) > 0)
