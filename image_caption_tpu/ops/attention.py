@@ -75,16 +75,22 @@ def _attention_xla(q, k, v, mask, temperature, *,
 
 def _fused_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
                             *, temperature: float):
-    """One (batch, head) tile: the whole [Lq, Dh] x [Lk, Dh] problem fits in
-    VMEM for caption-scale shapes (L <= 64, Dh <= 128)."""
-    q = q_ref[0, 0]                                 # [Lq, Dh]
-    k = k_ref[0, 0]                                 # [Lk, Dh]
-    v = v_ref[0, 0]                                 # [Lk, Dh]
+    """One batch-item tile with ALL heads: [H, Lq, Dh] x [H, Lk, Dh] fits
+    in VMEM for caption-scale shapes (H*L*Dh is a few hundred KB).
+
+    Earlier revision tiled the grid as (batch, heads) — at B=128, H=32
+    that is 4096 sequential grid steps of trivially small work, and the
+    per-step overhead made the kernel ~2.7x slower than XLA's fused
+    attention.  Batching heads into the tile (grid = batch only) does the
+    per-head matmuls as one 3-D dot_general on the MXU."""
+    q = q_ref[0]                                     # [H, Lq, Dh]
+    k = k_ref[0]                                     # [H, Lk, Dh]
+    v = v_ref[0]                                     # [H, Lk, Dh]
     scores = jax.lax.dot_general(
         q.astype(jnp.float32) * (1.0 / temperature), k.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [Lq, Lk]
-    masked = mask_ref[0] != 0                        # [Lq, Lk]
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [H, Lq, Lk]
+    masked = (mask_ref[0] != 0)[None]                # [1, Lq, Lk]
     scores = jnp.where(masked, _NEG_INF, scores)
     # Numerically-stable softmax on the VPU.
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -93,9 +99,9 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
     p = jnp.exp(scores - m)
     denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
     p = p / denom
-    out_ref[0, 0] = jax.lax.dot_general(
+    out_ref[0] = jax.lax.dot_general(
         p, v.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
@@ -105,50 +111,50 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
 
 def _attention_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
                           dq_ref, dk_ref, dv_ref, *, temperature: float):
-    """Flash-style backward for one (batch, head) tile: recompute P in VMEM
-    (cheaper than saving it), then
+    """Flash-style backward for one batch-item tile (all heads): recompute
+    P in VMEM (cheaper than saving it), then per head
       dV = P^T dO;  dP = dO V^T;  dS = P * (dP - rowsum(dP*P));
       dQ = dS K / temp;  dK = dS^T Q / temp.
     """
     f32 = jnp.float32
-    q = q_ref[0, 0].astype(f32)
-    k = k_ref[0, 0].astype(f32)
-    v = v_ref[0, 0].astype(f32)
-    do = do_ref[0, 0].astype(f32)
+    q = q_ref[0].astype(f32)                             # [H, Lq, Dh]
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    do = do_ref[0].astype(f32)
     inv_t = 1.0 / temperature
 
     scores = jax.lax.dot_general(
-        q * inv_t, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
-    masked = mask_ref[0] != 0
+        q * inv_t, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32)                      # [H, Lq, Lk]
+    masked = (mask_ref[0] != 0)[None]
     scores = jnp.where(masked, _NEG_INF, scores)
     m = jnp.max(scores, axis=-1, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     e = jnp.exp(scores - m)
     denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-    p = e / denom                                        # [Lq, Lk]
+    p = e / denom                                        # [H, Lq, Lk]
 
-    dv_ref[0, 0] = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=f32).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
+        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32)                      # [H, Lq, Lk]
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq_ref[0, 0] = (jax.lax.dot_general(
-        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+    dq_ref[0] = (jax.lax.dot_general(
+        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=f32) * inv_t).astype(dq_ref.dtype)
-    dk_ref[0, 0] = (jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+    dk_ref[0] = (jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=f32) * inv_t).astype(dk_ref.dtype)
 
 
 def _pallas_specs(b, h, lq, lk, dh):
-    qspec = pl.BlockSpec((1, 1, lq, dh), lambda i, j: (i, j, 0, 0),
+    qspec = pl.BlockSpec((1, h, lq, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, 1, lk, dh), lambda i, j: (i, j, 0, 0),
+    kspec = pl.BlockSpec((1, h, lk, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, lq, lk), lambda i, j: (i, 0, 0),
+    mspec = pl.BlockSpec((1, lq, lk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     return qspec, kspec, mspec
 
@@ -169,7 +175,7 @@ def _fused_fwd_call(q, k, v, mask_i8, temperature):
     return pl.pallas_call(
         functools.partial(_fused_attention_kernel, temperature=temperature),
         out_shape=jax.ShapeDtypeStruct((b, h, lq, dh), q.dtype),
-        grid=(b, h),
+        grid=(b,),
         in_specs=[qspec, kspec, kspec, mspec],
         out_specs=qspec,
     )(q, k, v, mask_i8)
@@ -189,7 +195,7 @@ def _fused_bwd(temperature, residuals, g):
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
-        grid=(b, h),
+        grid=(b,),
         in_specs=[qspec, kspec, kspec, mspec, qspec],
         out_specs=(qspec, kspec, kspec),
     )(q, k, v, mask_i8, g)
