@@ -54,6 +54,31 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def activation_sharding(mesh: Mesh,
+                        seq_dim_size: Optional[int] = None) -> NamedSharding:
+    """Sharding for [B, S, ...] activations: batch over ``data`` and the
+    slot/token dim over ``sequence`` — sequence parallelism engages only
+    when the mesh has a sequence axis > 1 AND the dim divides evenly
+    (GSPMD rejects uneven explicit input shardings); otherwise identical
+    to :func:`data_sharding`.  XLA inserts the all-gathers where attention
+    needs the full sequence."""
+    nseq = mesh.shape[SEQUENCE_AXIS]
+    if nseq > 1 and seq_dim_size is not None and seq_dim_size % nseq == 0:
+        return NamedSharding(mesh, P(DATA_AXIS, SEQUENCE_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def batch_shardings(mesh: Mesh, num_slots: Optional[int] = None):
+    """Input shardings for a (features, positions, captions) batch.
+
+    Features/positions shard their slot dim over ``sequence`` (when it
+    divides); captions stay batch-sharded — the decoder immediately splits
+    them into shifted input/target views, so a token-dim sharding would
+    just force a reshard."""
+    act = activation_sharding(mesh, num_slots)
+    return (act, act, data_sharding(mesh))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -116,7 +141,9 @@ def shard_params(mesh: Mesh, params):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place host batch arrays with batch-dim sharding over `data`.
+    """Place host batch arrays onto the mesh: batch dim over `data`, and
+    for rank>=3 activation arrays ([B, S, ...]) the slot dim over
+    `sequence` when it divides (see :func:`activation_sharding`).
 
     Multi-process (pod) runs: every host assembles the same global batch
     (all hosts read the same dataset), and each host materializes ONLY the
@@ -124,13 +151,17 @@ def shard_batch(mesh: Mesh, batch):
     assumption about device-to-process contiguity
     (``make_array_from_callback`` hands each host exactly its slice
     indices).  Single-process runs keep the plain ``device_put``."""
-    s = data_sharding(mesh)
+    def spec_for(x):
+        if getattr(x, "ndim", 0) >= 3:
+            return activation_sharding(mesh, x.shape[1])
+        return data_sharding(mesh)
+
     if jax.process_count() == 1:
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s),
-                                      batch)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, spec_for(x)), batch)
 
     def put(x):
         x = np.asarray(x)
-        return jax.make_array_from_callback(x.shape, s,
+        return jax.make_array_from_callback(x.shape, spec_for(x),
                                             lambda idx: x[idx])
     return jax.tree_util.tree_map(put, batch)

@@ -64,7 +64,7 @@ def compile_rl_train_step(cfg: Config, mesh: Mesh, state: TrainState,
     from ..train.step import _state_shardings
     tx = make_optimizer(cfg.train.learning_rate)
     state_sh = _state_shardings(mesh, state)
-    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
     repl = NamedSharding(mesh, P())
     metric_sh = {k: repl for k in ("loss", "language_model_loss",
                                    "structure_loss", "reward")}
@@ -79,7 +79,7 @@ def compile_rl_eval_step(cfg: Config, mesh: Mesh, state: TrainState,
                          reward_callback):
     from ..train.step import _state_shardings
     state_sh = _state_shardings(mesh, state)
-    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
     repl = NamedSharding(mesh, P())
     metric_sh = {k: repl for k in ("loss", "language_model_loss",
                                    "structure_loss", "reward")}
@@ -99,7 +99,7 @@ def compile_rl_sample_step(cfg: Config, mesh: Mesh, state: TrainState):
     from ..rl.loss import rl_sample_sequence
     from ..train.step import _state_shardings
     state_sh = _state_shardings(mesh, state)
-    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
     repl = NamedSharding(mesh, P())
 
     def fn(params, batch, rng, step):
@@ -118,7 +118,7 @@ def compile_rl_train_step_two_phase(cfg: Config, mesh: Mesh,
     from ..train.step import _state_shardings
     tx = make_optimizer(cfg.train.learning_rate)
     state_sh = _state_shardings(mesh, state)
-    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
     data_sh = pmesh.data_sharding(mesh)
     repl = NamedSharding(mesh, P())
     metric_sh = {k: repl for k in ("loss", "language_model_loss",
@@ -138,7 +138,7 @@ def compile_rl_eval_step_two_phase(cfg: Config, mesh: Mesh,
                                    state: TrainState):
     from ..train.step import _state_shardings
     state_sh = _state_shardings(mesh, state)
-    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
     data_sh = pmesh.data_sharding(mesh)
     repl = NamedSharding(mesh, P())
     metric_sh = {k: repl for k in ("loss", "language_model_loss",
@@ -161,7 +161,7 @@ def compile_rl_sample_step_eval(cfg: Config, mesh: Mesh, state: TrainState):
     from ..rl.loss import rl_sample_sequence
     from ..train.step import _state_shardings
     state_sh = _state_shardings(mesh, state)
-    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
 
     def fn(params, batch):
         return rl_sample_sequence(params, cfg, batch, rng=None,

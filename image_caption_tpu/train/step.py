@@ -76,7 +76,7 @@ def compile_train_step(cfg: Config, mesh: Mesh, state: TrainState,
     """
     tx = make_optimizer(cfg.train.learning_rate)
     state_sh = _state_shardings(mesh, state)
-    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
     repl = NamedSharding(mesh, P())
 
     fn = functools.partial(train_step, cfg=cfg, tx=tx)
@@ -90,7 +90,7 @@ def compile_train_step(cfg: Config, mesh: Mesh, state: TrainState,
 
 def compile_eval_step(cfg: Config, mesh: Mesh, state: TrainState):
     state_sh = _state_shardings(mesh, state)
-    batch_sh = (pmesh.data_sharding(mesh),) * 3
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
     repl = NamedSharding(mesh, P())
     fn = functools.partial(eval_step, cfg=cfg)
     return jax.jit(fn, in_shardings=(state_sh.params, batch_sh),

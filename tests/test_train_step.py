@@ -65,6 +65,42 @@ def test_tp_sharding_compiles(tiny_cfg):
     assert abs(l_tp - l_dp) < 1e-4, (l_tp, l_dp)
 
 
+def test_sequence_parallel_matches_dp(tiny_cfg):
+    """sequence axis = 2: slot-dim activation sharding (SP) must compile,
+    insert the attention all-gathers, and match the replicated loss.
+    num_objects is bumped so num_slots divides the sequence axis."""
+    cfg = tiny_cfg.with_overrides(**{"model.num_objects": 7})  # slots = 8
+    mesh_sp = pmesh.make_mesh(data=-1, model=1, sequence=2)
+    mesh_dp = pmesh.make_mesh(data=-1, model=1)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    batch = make_fake_batch(cfg, batch=8)
+
+    ev_sp = compile_eval_step(cfg, mesh_sp, state)
+    ev_dp = compile_eval_step(cfg, mesh_dp, state)
+    feats_sp = pmesh.shard_batch(mesh_sp, batch)
+    # the slot dim really is sequence-sharded (not silently data-only)
+    assert "sequence" in str(feats_sp[0].sharding.spec)
+    l_sp = float(ev_sp(pmesh.shard_params(mesh_sp, state.params),
+                       feats_sp)["loss"])
+    l_dp = float(ev_dp(state.params,
+                       pmesh.shard_batch(mesh_dp, batch))["loss"])
+    assert abs(l_sp - l_dp) < 1e-4, (l_sp, l_dp)
+
+
+def test_sequence_axis_falls_back_when_indivisible(tiny_cfg):
+    """slots=7 does not divide sequence=2: shard_batch must fall back to
+    data-only sharding and still evaluate correctly."""
+    cfg = tiny_cfg  # num_objects=6 -> slots 7 (odd)
+    mesh_sp = pmesh.make_mesh(data=-1, model=1, sequence=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    batch = pmesh.shard_batch(mesh_sp, make_fake_batch(cfg, batch=8))
+    assert "sequence" not in str(batch[0].sharding.spec)
+    ev = compile_eval_step(cfg, mesh_sp, state)
+    loss = float(ev(pmesh.shard_params(mesh_sp, state.params),
+                    batch)["loss"])
+    assert np.isfinite(loss)
+
+
 def test_rl_train_step_runs(flagship_tiny_cfg, mesh8):
     from image_caption_tpu.rl.loss import make_reward_callback
     from image_caption_tpu.rl.step import (compile_rl_eval_step,
