@@ -103,6 +103,55 @@ def nms_fixed(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
                       valid=valid_out)
 
 
+@partial(jax.jit, static_argnames=("max_det",))
+def nms_scan_full(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
+                  classes: jnp.ndarray, *, iou_thres: float = 0.45,
+                  conf_thres: float = 0.01,
+                  max_det: int = 36) -> Detections:
+    """Greedy NMS over the FULL candidate set — no pre-top-k, no
+    candidate cap: each of the ``max_det`` picks argmaxes over all N
+    candidates and suppresses via an IoU row computed on the fly.
+
+    Measured and REJECTED as the default YOLO path: at B=32/N=25200 the
+    36-step full-width scan costs ~20 ms while ``nms_fixed``'s
+    top-512-then-suppress runs in 0.33 ms — TPU ``top_k`` over 25k cells
+    is cheap (the beam-search vocab-sort lesson does NOT transfer; the
+    sort axis here is ~2x longer but the batch is 32, not 384), and the
+    512-candidate prefilter almost never alters the 36 keeps.  Kept for
+    uncapped-fidelity studies of pathological scenes
+    (docs/performance.md)."""
+    n = scores.shape[0]
+    conf_ok = scores > conf_thres
+
+    # class-aware: offset boxes per class so cross-class IoU is 0
+    span = (jnp.max(boxes_xyxy) - jnp.min(boxes_xyxy)) + 1.0
+    shifted = boxes_xyxy + classes.astype(jnp.float32)[:, None] * span
+    area = (jnp.clip(shifted[:, 2] - shifted[:, 0], 0)
+            * jnp.clip(shifted[:, 3] - shifted[:, 1], 0))
+
+    def body(avail, _):
+        score_m = jnp.where(avail, scores, -2.0)
+        i = jnp.argmax(score_m)
+        ok = score_m[i] > conf_thres
+        box_i = shifted[i]
+        lt = jnp.maximum(box_i[:2], shifted[:, :2])
+        rb = jnp.minimum(box_i[2:], shifted[:, 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[:, 0] * wh[:, 1]
+        iou_row = inter / jnp.maximum(area[i] + area - inter, 1e-9)
+        avail = avail & ~(iou_row > iou_thres) & (jnp.arange(n) != i)
+        return avail, (i, ok)
+
+    _, (picks, valid_out) = jax.lax.scan(body, conf_ok, None,
+                                         length=max_det)
+    boxes_out = jnp.where(valid_out[:, None], boxes_xyxy[picks], 0.0)
+    scores_out = jnp.where(valid_out, scores[picks], 0.0)
+    classes_out = jnp.where(valid_out, classes[picks], 0)
+    return Detections(boxes=boxes_out, scores=scores_out,
+                      classes=classes_out.astype(jnp.int32),
+                      valid=valid_out)
+
+
 @partial(jax.jit, static_argnames=("max_det", "pre_nms", "num_classes"))
 def yolo_postprocess(pred: jnp.ndarray, *, num_classes: int = 80,
                      iou_thres: float = 0.45, conf_thres: float = 0.01,

@@ -88,7 +88,8 @@ def _position_rows(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 @partial(jax.jit,
          static_argnames=("num_objects", "cap_half", "max_obj",
-                          "num_classes", "crop_size", "compute_dtype"))
+                          "num_classes", "crop_size", "compute_dtype",
+                          "use_pallas"))
 def extract_features_batch(params: ExtractorParams,
                            canvases: jnp.ndarray,
                            metas: jnp.ndarray,
@@ -98,7 +99,8 @@ def extract_features_batch(params: ExtractorParams,
                            max_obj: Optional[int] = None,
                            num_classes: int = 80,
                            crop_size: int = 224,
-                           compute_dtype=jnp.bfloat16
+                           compute_dtype=jnp.bfloat16,
+                           use_pallas: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The whole pipeline for a batch.
 
@@ -164,13 +166,20 @@ def extract_features_batch(params: ExtractorParams,
                                  axis=1)          # [B, 1+M, 4]
     m = crop_boxes.shape[1]
 
+    # crop resample in the compute dtype: the resample is two dense
+    # [224, 640]-weight matmuls per crop — bf16 halves their MXU cost and
+    # pixel-value rounding (<=0.4% of 0..255) is far below the detector/
+    # encoder noise floor.  f32 compute keeps an f32 resample.
     crops = jax.vmap(lambda im, bx: crop_and_resize(im, bx, crop_size)
-                     )(canvases, crop_boxes)      # [B, 1+M, S, S, 3]
-    crops = (crops / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+                     )(canvases.astype(compute_dtype),
+                       crop_boxes)                # [B, 1+M, S, S, 3]
+    crops = ((crops.astype(jnp.float32) / 255.0 - IMAGENET_MEAN)
+             / IMAGENET_STD)
 
     flat = crops.reshape(b * m, crop_size, crop_size, 3)
     feats_sel = resnet_features(params.resnet, flat,
-                                compute_dtype=compute_dtype
+                                compute_dtype=compute_dtype,
+                                use_pallas=use_pallas
                                 ).reshape(b, m, -1)
 
     slot_valid = jnp.concatenate(

@@ -119,13 +119,33 @@ def _bottleneck(p: Params, x, stride):
     return jax.nn.relu(out + x)
 
 
+def _use_fused_block(block, stride: int, use_pallas: bool) -> bool:
+    """Fused-kernel eligibility: identity blocks (stride 1, no
+    downsample) whose bottleneck width fills the 128-lane MXU — i.e.
+    stages 2-4 of ResNet-101 (stage 1's width-64 matmuls would run at
+    half-lane occupancy and its [N,56,56,256] tiles force batch-1
+    blocks; it stays on XLA)."""
+    if not (use_pallas and stride == 1 and "downsample" not in block):
+        return False
+    if block["conv1"].shape[3] < 128:
+        return False
+    from .pallas_bottleneck import bottleneck_pallas_available
+    return bottleneck_pallas_available()
+
+
 def resnet_features(params: Params, images: jnp.ndarray, *,
-                    compute_dtype=jnp.float32) -> jnp.ndarray:
+                    compute_dtype=jnp.float32,
+                    use_pallas: bool = False) -> jnp.ndarray:
     """[N, H, W, 3] (ImageNet-normalized) -> [N, 2048] global features.
 
     Equivalent to torchvision children()[:9] + flatten
     (core/preprocess.py:37-45): stem, 4 stages, global average pool.
+    ``use_pallas`` routes eligible identity bottlenecks through the fused
+    VMEM-resident kernel (vision/pallas_bottleneck.py) — the XLA path
+    round-trips every conv through HBM, which leaves stages 1-3 2-8x
+    memory-bound (docs/performance.md).
     """
+    from .pallas_bottleneck import fused_bottleneck, params_from_block
     x = images.astype(compute_dtype)
     x = _conv(x, params["stem"]["conv"], 2, [(3, 3), (3, 3)])
     x = jax.nn.relu(_bn(x, params["stem"]["bn"]))
@@ -136,14 +156,19 @@ def resnet_features(params: Params, images: jnp.ndarray, *,
     for i, blocks in enumerate(params["layers"]):
         for b, block in enumerate(blocks):
             stride = 2 if (b == 0 and i > 0) else 1
-            x = _bottleneck(block, x, stride)
+            if _use_fused_block(block, stride, use_pallas):
+                x = fused_bottleneck(x, *params_from_block(block))
+            else:
+                x = _bottleneck(block, x, stride)
     x = jnp.mean(x, axis=(1, 2))            # adaptive avgpool to 1x1
     return x.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype",))
-def resnet_features_jit(params, images, compute_dtype=jnp.float32):
-    return resnet_features(params, images, compute_dtype=compute_dtype)
+@partial(jax.jit, static_argnames=("compute_dtype", "use_pallas"))
+def resnet_features_jit(params, images, compute_dtype=jnp.float32,
+                        use_pallas=False):
+    return resnet_features(params, images, compute_dtype=compute_dtype,
+                           use_pallas=use_pallas)
 
 
 def resnet_feature_maps(params: Params, images: jnp.ndarray, *,

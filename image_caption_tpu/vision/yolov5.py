@@ -201,15 +201,59 @@ def _focus(x):
                             x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
 
 
+def _space_to_depth2(x):
+    """[N,H,W,C] -> [N,H/2,W/2,4C] via reshape/transpose (no strided
+    gathers — XLA lowers this as a pure relayout).  Channel order is
+    (row-phase, col-phase, c), row-major."""
+    n, h, w, c = x.shape
+    xs = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return xs.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _stem_s2d_kernel(w):
+    """Rearrange the 6x6/stride-2 stem kernel [6,6,3,C] into the exactly
+    equivalent 3x3/stride-1 kernel [3,3,12,C] over the 2x2 space-to-depth
+    input: output cell o reads input rows 2o-2..2o+3 (pad 2), i.e. s2d
+    blocks o-1..o+1 (pad 1) — tap kh=2*t+p maps to (block-tap t, phase p),
+    matching ``_space_to_depth2``'s (ph, pw, c) channel order.  Same MACs,
+    same sums — bit-comparable up to reassociation."""
+    c_out = w.shape[-1]
+    k = w.reshape(3, 2, 3, 2, 3, c_out).transpose(0, 2, 1, 3, 4, 5)
+    return k.reshape(3, 3, 12, c_out)
+
+
+def _stem_conv_s2d(p, x):
+    """v6.0 stem as s2d + 3x3/s1 conv.  An isolated-timing artifact made
+    the direct 6x6/s2 conv look like a 17 ms MXU-starvation hotspot, but
+    in the full graph this form measures ~3 ms slower — kept (off by
+    default) as the documented rejected experiment; see
+    docs/performance.md."""
+    xs = _space_to_depth2(x)
+    k = _stem_s2d_kernel(p["conv"]).astype(xs.dtype)
+    y = jax.lax.conv_general_dilated(
+        xs, k, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(xs.dtype)
+    y = y * p["bn"]["scale"].astype(y.dtype) \
+        + p["bn"]["bias"].astype(y.dtype)
+    return jax.nn.silu(y)
+
+
 def yolov5_raw(params: Params, images: jnp.ndarray,
                compute_dtype=jnp.float32, *,
-               focus_stem: bool = False) -> List[jnp.ndarray]:
+               focus_stem: bool = False,
+               s2d_stem: bool = False) -> List[jnp.ndarray]:
     """images [B, S, S, 3] in [0,1] -> per-scale raw head outputs
     [B, H, W, 3*(5+C)].  ``focus_stem`` selects the v5.0 Focus stem
-    (static — auto-derivable from the stem kernel: in-channels == 12)."""
+    (static — auto-derivable from the stem kernel: in-channels == 12);
+    ``s2d_stem`` runs the v6.0 stem in its space-to-depth form (exactly
+    equivalent, see ``_stem_conv_s2d``) — measured ~3 ms SLOWER in the
+    full graph at B=32 (docs/performance.md), kept for study."""
     x = images.astype(compute_dtype)
     if focus_stem:
         x = _convbn(params["b0"], _focus(x), 1)
+    elif s2d_stem:
+        x = _stem_conv_s2d(params["b0"], x)
     else:
         x = _convbn(params["b0"], x, 2)
     x = _convbn(params["b1"], x, 2)
@@ -278,6 +322,45 @@ def decode_predictions(params: Params,
     return jnp.concatenate(outs, axis=1)
 
 
+def decode_boxes_scores(params: Params, raw: Sequence[jnp.ndarray], *,
+                        num_classes: int = 80, rect_hw=None):
+    """Slim anchor decode for the NMS path: per-scale head outputs ->
+    (boxes_xyxy [B,N,4], scores [B,N], classes [B,N] int32).
+
+    Same math as ``decode_predictions`` but never materializes the
+    [B, N, 5+C] tensor: the 85 head channels are read once and reduced to
+    6 outputs per cell.  ``max(sigmoid(cls)) == sigmoid(max(cls_logit))``
+    (sigmoid is monotone), so the per-class sigmoid never materializes
+    either."""
+    nc = num_classes
+    anchors = params["detect"]["anchors"]
+    bs, ss, cs = [], [], []
+    for scale, (y, stride) in enumerate(zip(raw, YOLO_STRIDES)):
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, 3, 5 + nc)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        grid = jnp.stack([gx, gy], axis=-1)[None, :, :, None, :]
+        xy = (jax.nn.sigmoid(y[..., :2]) * 2.0 - 0.5 + grid) * stride
+        wh = jnp.square(jax.nn.sigmoid(y[..., 2:4]) * 2.0) \
+            * anchors[scale][None, None, None, :, :]
+        obj = jax.nn.sigmoid(y[..., 4])
+        if rect_hw is not None:
+            in_rect = ((gy * stride < rect_hw[:, None, None, 0]) &
+                       (gx * stride < rect_hw[:, None, None, 1]))
+            obj = obj * in_rect[..., None]
+        cls_logits = y[..., 5:]
+        cls_idx = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+        score = obj * jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))
+        half = wh * 0.5
+        boxes = jnp.concatenate([xy - half, xy + half], axis=-1)
+        bs.append(boxes.reshape(b, h * w * 3, 4))
+        ss.append(score.reshape(b, h * w * 3))
+        cs.append(cls_idx.reshape(b, h * w * 3))
+    return (jnp.concatenate(bs, axis=1), jnp.concatenate(ss, axis=1),
+            jnp.concatenate(cs, axis=1))
+
+
 @partial(jax.jit, static_argnames=("max_det", "conf_thres", "iou_thres",
                                    "num_classes", "focus_stem",
                                    "compute_dtype"))
@@ -292,12 +375,13 @@ def yolov5_detect(params: Params, images: jnp.ndarray, *,
     Reference thresholds: conf 0.01 / iou 0.45
     (detect_for_preprocess.py:28-29).  ``rect_hw`` [B,2] enables the
     rectangular-letterbox cell mask (see decode_predictions)."""
+    from .nms import nms_fixed
     raw = yolov5_raw(params, images, compute_dtype, focus_stem=focus_stem)
-    preds = decode_predictions(params, raw, num_classes=num_classes,
-                               rect_hw=rect_hw)
-    return jax.vmap(lambda p: yolo_postprocess(
-        p, num_classes=num_classes, iou_thres=iou_thres,
-        conf_thres=conf_thres, max_det=max_det))(preds)
+    boxes, scores, classes = decode_boxes_scores(
+        params, raw, num_classes=num_classes, rect_hw=rect_hw)
+    return jax.vmap(lambda bx, sc, cl: nms_fixed(
+        bx, sc, cl, iou_thres=iou_thres, conf_thres=conf_thres,
+        max_det=max_det))(boxes, scores, classes)
 
 
 def stem_is_focus(params: Params) -> bool:

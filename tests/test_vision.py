@@ -200,6 +200,72 @@ def test_yolov5_tiny_shapes():
     assert det.valid.dtype == bool
 
 
+def test_slim_decode_matches_full_decode():
+    """decode_boxes_scores (the NMS-path decode that never materializes
+    [B,N,85]) == decode_predictions reduced to boxes/score/class."""
+    from image_caption_tpu.vision import nms as N
+    from image_caption_tpu.vision import yolov5 as Y
+    params = Y.init_yolov5(jax.random.PRNGKey(0), depth_multiple=0.33,
+                           width_multiple=0.25)
+    rng = np.random.RandomState(1)
+    raw = [jnp.asarray(rng.randn(2, s, s, 255).astype(np.float32) * 2)
+           for s in (16, 8, 4)]
+    rect = jnp.asarray([[128.0, 96.0], [64.0, 128.0]])
+
+    full = Y.decode_predictions(params, raw, num_classes=80, rect_hw=rect)
+    fb = N.xywh_to_xyxy(full[..., :4])
+    fs = full[..., 4] * jnp.max(full[..., 5:], axis=-1)
+    fc = jnp.argmax(full[..., 5:], axis=-1)
+    sb, ss, sc = Y.decode_boxes_scores(params, raw, num_classes=80,
+                                       rect_hw=rect)
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(fb), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(fs), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(fc))
+
+
+def test_nms_scan_full_matches_nms_fixed():
+    """Full-set greedy scan == pre-top-k greedy scan when the candidate
+    count is within the old pre_nms cap."""
+    from image_caption_tpu.vision import nms as N
+    rng = np.random.RandomState(2)
+    n = 300
+    xy = rng.uniform(0, 600, (n, 2))
+    wh = rng.uniform(10, 120, (n, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    classes = jnp.asarray(rng.randint(0, 5, n).astype(np.int32))
+    a = N.nms_fixed(boxes, scores, classes, max_det=20, pre_nms=512)
+    b = N.nms_scan_full(boxes, scores, classes, max_det=20)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes))
+    np.testing.assert_array_equal(np.asarray(a.classes),
+                                  np.asarray(b.classes))
+
+
+def test_s2d_stem_matches_direct_conv():
+    """The space-to-depth stem (3x3/s1 over [H/2,W/2,12]) is numerically
+    the direct 6x6/s2/pad-2 stem conv — same MACs, rearranged."""
+    from image_caption_tpu.vision import yolov5 as Y
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(6, 6, 3, 16).astype(np.float32))
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    direct = Y._conv(x, w, 2, 6)
+    s2d = jax.lax.conv_general_dilated(
+        Y._space_to_depth2(x), Y._stem_s2d_kernel(w), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+    # and through the full stem block (bn + silu), both stem modes agree
+    params = Y.init_yolov5(jax.random.PRNGKey(0), depth_multiple=0.33,
+                           width_multiple=0.25)
+    a = Y.yolov5_raw(params, x, s2d_stem=False)
+    b = Y.yolov5_raw(params, x, s2d_stem=True)
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(rb), np.asarray(ra),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_extraction_pipeline_contract():
     """Random-weights end-to-end extraction keeps the reference shape
