@@ -2,8 +2,10 @@
 
 Metrics (all single-chip):
   * feature_extraction_throughput — full YOLOv5x + ResNet-101 crop
-    pipeline (vision/pipeline.py), batch 8, bf16; vs the 5k img/s v5e-8
-    north star => 625 img/s/chip target.
+    pipeline (vision/pipeline.py), batch 32, bf16, cap_half (19 crops/
+    image); vs the 5k img/s v5e-8 north star => 625 img/s/chip target.
+  * feature_extraction_throughput_etl — same pipeline in the offline-ETL
+    configuration (max_obj=5: 6 crops/image, what features.py runs).
   * xe_train_steps_per_sec — flagship XE train step, batch 32 (the
     reference's solver shape, core/config.py:59-62); regression floor 5
     steps/s (≈ measured r1 perf / 2 — a genuine slowdown trips it).
@@ -69,20 +71,45 @@ def _fake_caption_batch(m, batch, seed=0):
     return feats, pos, caps
 
 
-def bench_extraction(batch=32):
+_EXTRACT_STATE: dict = {}
+
+
+def _extract_inputs(batch):
     import jax.numpy as jnp
-    from image_caption_tpu.vision.pipeline import (extract_features_batch,
-                                                   init_extractor)
-    params = init_extractor()
-    rng = np.random.RandomState(0)
-    canvases = jnp.asarray(rng.rand(batch, 640, 640, 3).astype(np.float32)
-                           * 255.0)
-    metas = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (batch, 1))
-    sizes = jnp.tile(jnp.asarray([[640.0, 640.0]]), (batch, 1))
+    from image_caption_tpu.vision.pipeline import init_extractor
+    if not _EXTRACT_STATE:
+        rng = np.random.RandomState(0)
+        _EXTRACT_STATE.update(
+            params=init_extractor(),
+            canvases=jnp.asarray(
+                rng.rand(batch, 640, 640, 3).astype(np.float32) * 255.0),
+            metas=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (batch, 1)),
+            sizes=jnp.tile(jnp.asarray([[640.0, 640.0]]), (batch, 1)))
+    s = _EXTRACT_STATE
+    return s["params"], s["canvases"], s["metas"], s["sizes"]
+
+
+def bench_extraction(batch=32):
+    from image_caption_tpu.vision.pipeline import extract_features_batch
+    params, canvases, metas, sizes = _extract_inputs(batch)
     dt = _median_time(lambda: extract_features_batch(
         params, canvases, metas, sizes), warmup=2, iters=5)
     v = batch / dt
     return {"metric": "feature_extraction_throughput",
+            "value": round(v, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+
+
+def bench_extraction_etl(batch=32):
+    """The offline ETL configuration (max_obj=5 — what features.py runs
+    over the whole dataset, core/dataset.py:63-64): 6 crops/image instead
+    of 19."""
+    from image_caption_tpu.vision.pipeline import extract_features_batch
+    params, canvases, metas, sizes = _extract_inputs(batch)
+    dt = _median_time(lambda: extract_features_batch(
+        params, canvases, metas, sizes, max_obj=5), warmup=2, iters=5)
+    v = batch / dt
+    return {"metric": "feature_extraction_throughput_etl",
             "value": round(v, 2), "unit": "images/sec/chip",
             "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
 
@@ -143,7 +170,8 @@ def bench_beam(batch=128, beam=3):
 
 
 def main() -> None:
-    for fn in (bench_extraction, bench_xe_step, bench_greedy, bench_beam):
+    for fn in (bench_extraction, bench_extraction_etl, bench_xe_step,
+               bench_greedy, bench_beam):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as exc:   # a broken secondary metric must not

@@ -127,6 +127,122 @@ def fused_bottleneck(x: jnp.ndarray, w1, s1, b1, w2, s2, b2, w3, s3, b3,
     return out[:n]
 
 
+# ---------------------------------------------------------------------------
+# Per-STAGE fusion: one kernel runs a batch tile through ALL of a stage's
+# identity blocks with the tile resident in VMEM.
+# ---------------------------------------------------------------------------
+
+_VMEM_BUDGET = 100 * 1024 * 1024
+_STAGE_VMEM_LIMIT = 110 * 1024 * 1024     # v5e probes OK to >=120 MB
+
+
+def _stage_kernel(x_ref, w1_ref, sb1_ref, w2_ref, sb2_ref,
+                  w3_ref, sb3_ref, out_ref):
+    bk, h, w, c = x_ref.shape
+    n = w1_ref.shape[0]
+    wd = w1_ref.shape[2]
+    dt = x_ref.dtype
+
+    # all dots contract the channel (lane) dim of 4-D operands directly —
+    # reshaping strided window slices to 2-D forces VMEM copies whose
+    # traffic dwarfs the dot data (first version measured 1.5x XLA)
+    dn = (((3,), (0,)), ((), ()))
+
+    def body(b, x):
+        h1 = jax.lax.dot_general(x, w1_ref[b], dn,
+                                 preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 * sb1_ref[b, 0] + sb1_ref[b, 1], 0.0)
+        hp = jnp.pad(h1.astype(dt), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = jnp.zeros((bk, h, w, wd), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + jax.lax.dot_general(
+                    hp[:, dy:dy + h, dx:dx + w, :], w2_ref[b, dy, dx],
+                    dn, preferred_element_type=jnp.float32)
+        h2 = (jnp.maximum(acc * sb2_ref[b, 0] + sb2_ref[b, 1], 0.0)
+              .astype(dt))
+        y = jax.lax.dot_general(h2, w3_ref[b], dn,
+                                preferred_element_type=jnp.float32)
+        y = y * sb3_ref[b, 0] + sb3_ref[b, 1] + x.astype(jnp.float32)
+        return jnp.maximum(y, 0.0).astype(dt)
+
+    out_ref[:] = jax.lax.fori_loop(0, n, body, x_ref[:])
+
+
+def _stage_block_batch(h, w, c, itemsize, weight_bytes) -> int:
+    """Batch tile under the VMEM roof.  The 16x per-item multiplier
+    covers double-buffered in+out (4x) plus the fori-loop intermediates —
+    dominated by the f32 expand buffer y [bk*H*W, C] (4x in bf16 terms)
+    and the padded/mid bf16 tensors (measured: stage 1 at bk=12 allocates
+    104 MB total, i.e. ~16.5x per-item bytes beyond the weights)."""
+    per_item = h * w * c * itemsize
+    bk = max((_VMEM_BUDGET - weight_bytes) // (16 * per_item), 1)
+    return int(min(bk, 32))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_stage(x: jnp.ndarray, w1, sb1, w2, sb2, w3, sb3, *,
+                interpret: bool = False) -> jnp.ndarray:
+    """x [N, H, W, C] through a STACK of identity bottlenecks in one
+    pallas_call.  Stacked weights: w1 [n, C, Wd], w2 [n, 3, 3, Wd, Wd],
+    w3 [n, Wd, C]; sb* [n, 2, dim] scale/bias rows.  All weights stay
+    VMEM-resident across the batch-tile grid (stage 3 of ResNet-101 is
+    48 MB — the v5e's VMEM takes it; cf. the 16 MB Mosaic default)."""
+    n_items, h, w, c = x.shape
+    dt = x.dtype
+    nblk, _, wd = w1.shape
+    wbytes = (w1.size + w2.size + w3.size) * dt.itemsize \
+        + (sb1.size + sb2.size + sb3.size) * 4
+    bk = _stage_block_batch(h, w, c, dt.itemsize, wbytes)
+    n_pad = -n_items % bk
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0), (0, 0)))
+    nt = x.shape[0] // bk
+
+    out = pl.pallas_call(
+        _stage_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, dt),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((bk, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, c, wd), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, 2, wd), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, 3, 3, wd, wd), lambda i: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, 2, wd), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, wd, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, 2, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bk, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_STAGE_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, w1.astype(dt), sb1.astype(jnp.float32), w2.astype(dt),
+      sb2.astype(jnp.float32), w3.astype(dt), sb3.astype(jnp.float32))
+    return out[:n_items]
+
+
+def stack_identity_blocks(blocks) -> tuple:
+    """List of identity-bottleneck param dicts (shared shapes) ->
+    stacked fused_stage args."""
+    def stk(f):
+        return jnp.stack([f(b) for b in blocks])
+    w1 = stk(lambda b: b["conv1"].reshape(b["conv1"].shape[2:]))
+    w2 = stk(lambda b: b["conv2"])
+    w3 = stk(lambda b: b["conv3"].reshape(b["conv3"].shape[2:]))
+    sb1 = stk(lambda b: jnp.stack([b["bn1"]["scale"], b["bn1"]["bias"]]))
+    sb2 = stk(lambda b: jnp.stack([b["bn2"]["scale"], b["bn2"]["bias"]]))
+    sb3 = stk(lambda b: jnp.stack([b["bn3"]["scale"], b["bn3"]["bias"]]))
+    return w1, sb1, w2, sb2, w3, sb3
+
+
 _PALLAS_OK = None
 
 

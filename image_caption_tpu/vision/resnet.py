@@ -121,13 +121,10 @@ def _bottleneck(p: Params, x, stride):
 
 def _use_fused_block(block, stride: int, use_pallas: bool) -> bool:
     """Fused-kernel eligibility: identity blocks (stride 1, no
-    downsample) whose bottleneck width fills the 128-lane MXU — i.e.
-    stages 2-4 of ResNet-101 (stage 1's width-64 matmuls would run at
-    half-lane occupancy and its [N,56,56,256] tiles force batch-1
-    blocks; it stays on XLA)."""
+    downsample).  Eligible RUNS of consecutive blocks go through ONE
+    per-stage pallas_call with the batch tile resident in VMEM
+    (vision/pallas_bottleneck.py:fused_stage)."""
     if not (use_pallas and stride == 1 and "downsample" not in block):
-        return False
-    if block["conv1"].shape[3] < 128:
         return False
     from .pallas_bottleneck import bottleneck_pallas_available
     return bottleneck_pallas_available()
@@ -145,7 +142,7 @@ def resnet_features(params: Params, images: jnp.ndarray, *,
     round-trips every conv through HBM, which leaves stages 1-3 2-8x
     memory-bound (docs/performance.md).
     """
-    from .pallas_bottleneck import fused_bottleneck, params_from_block
+    from .pallas_bottleneck import fused_stage, stack_identity_blocks
     x = images.astype(compute_dtype)
     x = _conv(x, params["stem"]["conv"], 2, [(3, 3), (3, 3)])
     x = jax.nn.relu(_bn(x, params["stem"]["bn"]))
@@ -154,12 +151,18 @@ def resnet_features(params: Params, images: jnp.ndarray, *,
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)])
     for i, blocks in enumerate(params["layers"]):
+        run = []                  # consecutive fused-eligible blocks
         for b, block in enumerate(blocks):
             stride = 2 if (b == 0 and i > 0) else 1
             if _use_fused_block(block, stride, use_pallas):
-                x = fused_bottleneck(x, *params_from_block(block))
-            else:
-                x = _bottleneck(block, x, stride)
+                run.append(block)
+                continue
+            if run:
+                x = fused_stage(x, *stack_identity_blocks(run))
+                run = []
+            x = _bottleneck(block, x, stride)
+        if run:
+            x = fused_stage(x, *stack_identity_blocks(run))
     x = jnp.mean(x, axis=(1, 2))            # adaptive avgpool to 1x1
     return x.astype(jnp.float32)
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .nms import Detections, yolo_postprocess
+from .nms import Detections
 
 Params = Dict[str, Any]
 

@@ -50,6 +50,35 @@ def test_fused_bottleneck_matches_xla_bf16():
                                rtol=3e-2, atol=3e-2)
 
 
+def test_fused_stage_matches_sequential_blocks():
+    """fused_stage (one kernel over a stack of identity blocks) == the
+    XLA blocks applied in sequence."""
+    from image_caption_tpu.vision.pallas_bottleneck import (
+        fused_stage, stack_identity_blocks)
+    c, width = 32, 16
+    blocks = [_random_block(jax.random.PRNGKey(i), c, width)
+              for i in range(3)]
+    x = jnp.asarray(np.random.RandomState(7).randn(4, 6, 6, c)
+                    .astype(np.float32))
+    want = x
+    for blk in blocks:
+        want = R._bottleneck(blk, want, 1)
+    got = fused_stage(x, *stack_identity_blocks(blocks), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_resnet_use_pallas_flag_cpu_noop():
+    """On CPU the probe gates fused dispatch off: use_pallas=True must
+    equal the XLA path bit-for-bit."""
+    params = R.init_resnet(jax.random.PRNGKey(0), stages=(2, 2))
+    x = jnp.asarray(np.random.RandomState(8).rand(2, 64, 64, 3)
+                    .astype(np.float32))
+    a = R.resnet_features(params, x)
+    b = R.resnet_features(params, x, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_bottleneck_pads_ragged_batch():
     """N not divisible by the batch tile: output still matches item-wise."""
     c, width = 32, 16
