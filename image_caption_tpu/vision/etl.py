@@ -109,8 +109,11 @@ def _load_letterboxed(path: str, size: int = 640, rect: bool = False
         else:
             r, nh, nw, top, left = letterbox_params(h, w, size)
         resized = im.resize((nw, nh), Image.BILINEAR)
-    canvas = np.full((size, size, 3), 114.0, np.float32)
-    canvas[top:top + nh, left:left + nw] = np.asarray(resized, np.float32)
+    # uint8 canvas: PIL's resize output is already uint8, so this loses
+    # nothing — and the host->device transfer is 4x smaller (the device
+    # program promotes to its compute dtype)
+    canvas = np.full((size, size, 3), 114, np.uint8)
+    canvas[top:top + nh, left:left + nw] = np.asarray(resized, np.uint8)
     meta = (np.asarray([r, top, left, rect_h, rect_w], np.float32) if rect
             else np.asarray([r, top, left], np.float32))
     return canvas, meta, \
@@ -146,25 +149,45 @@ def extract_split_features(image_paths: Sequence[str], *,
     all_pos = np.zeros((n, s, num_position_dims), np.float32)
 
     pool = ThreadPoolExecutor(num_workers)
+
+    def load_batch(start):
+        paths = image_paths[start:start + batch_size]
+        loaded = list(pool.map(
+            lambda p: _load_letterboxed(p, canvas_size,
+                                        rect=rect_letterbox and
+                                        not frcnn), paths))
+        real = len(loaded)
+        canvases = np.stack([c for c, _, _ in loaded])
+        metas = np.stack([m for _, m, _ in loaded])
+        sizes = np.stack([z for _, _, z in loaded])
+        if real < batch_size:          # static-shape pad
+            reps = batch_size - real
+            canvases = np.concatenate(
+                [canvases, np.repeat(canvases[:1], reps, 0)])
+            metas = np.concatenate([metas,
+                                    np.repeat(metas[:1], reps, 0)])
+            sizes = np.concatenate([sizes,
+                                    np.repeat(sizes[:1], reps, 0)])
+        return canvases, metas, sizes, real
+
+    def drain(pending):
+        start, real, feats, poss = pending
+        all_feats[start:start + real] = np.asarray(feats)[:real]
+        all_pos[start:start + real] = \
+            np.asarray(poss)[:real, :, :num_position_dims]
+
+    # software pipeline, three stages in flight: host threads decode
+    # batch k+1 while the device runs batch k and batch k-1's (device-
+    # async) results are fetched — the reference serializes all three
+    # per IMAGE (features.py:87-119 with per-item preprocess).
+    starts = list(range(0, n, batch_size))
     try:
-        for start in range(0, n, batch_size):
-            paths = image_paths[start:start + batch_size]
-            loaded = list(pool.map(
-                lambda p: _load_letterboxed(p, canvas_size,
-                                            rect=rect_letterbox and
-                                            not frcnn), paths))
-            real = len(loaded)
-            canvases = np.stack([c for c, _, _ in loaded])
-            metas = np.stack([m for _, m, _ in loaded])
-            sizes = np.stack([z for _, _, z in loaded])
-            if real < batch_size:      # static-shape pad
-                reps = batch_size - real
-                canvases = np.concatenate(
-                    [canvases, np.repeat(canvases[:1], reps, 0)])
-                metas = np.concatenate([metas,
-                                        np.repeat(metas[:1], reps, 0)])
-                sizes = np.concatenate([sizes,
-                                        np.repeat(sizes[:1], reps, 0)])
+        next_fut = pool.submit(load_batch, starts[0]) if starts else None
+        pending = None
+        for i, start in enumerate(starts):
+            canvases, metas, sizes, real = next_fut.result()
+            if i + 1 < len(starts):
+                next_fut = pool.submit(load_batch, starts[i + 1])
             if frcnn:
                 feats, poss, _ = extract_features_frcnn(
                     extractor_params, jnp.asarray(canvases),
@@ -175,11 +198,13 @@ def extract_split_features(image_paths: Sequence[str], *,
                     extractor_params, jnp.asarray(canvases),
                     jnp.asarray(metas), jnp.asarray(sizes),
                     num_objects=num_objects, max_obj=max_obj)
-            all_feats[start:start + real] = np.asarray(feats)[:real]
-            all_pos[start:start + real] = \
-                np.asarray(poss)[:real, :, :num_position_dims]
-            if verbose and (start // batch_size) % 10 == 0:
+            if pending is not None:
+                drain(pending)         # previous batch: device is ahead
+            pending = (start, real, feats, poss)
+            if verbose and i % 10 == 0:
                 print(f"[etl] {start + real}/{n} images")
+        if pending is not None:
+            drain(pending)
     finally:
         pool.shutdown()
     return all_feats, all_pos
