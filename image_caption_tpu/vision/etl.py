@@ -130,11 +130,18 @@ def extract_split_features(image_paths: Sequence[str], *,
                            num_position_dims: int = 84,
                            image_model: str = "YOLOv5",
                            rect_letterbox: bool = False,
-                           verbose: bool = True
+                           verbose: bool = True,
+                           mesh=None
                            ) -> Tuple[np.ndarray, np.ndarray]:
-    """All images of a split -> ([N, S, 2048], [N, S, P]) arrays."""
+    """All images of a split -> ([N, S, 2048], [N, S, P]) arrays.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to data-parallelize the device
+    program over (batch_size must divide its ``data`` axis); None runs
+    single-device."""
+    import functools
     import jax.numpy as jnp
     from .pipeline import (extract_features_batch, extract_features_frcnn,
+                           extract_features_sharded,
                            load_extractor, load_frcnn_extractor)
 
     frcnn = image_model == "FasterRCNN"
@@ -194,7 +201,10 @@ def extract_split_features(image_paths: Sequence[str], *,
                     jnp.asarray(metas), jnp.asarray(sizes),
                     num_objects=num_objects, canvas=canvas_size)
             else:
-                feats, poss, _ = extract_features_batch(
+                extract = (functools.partial(extract_features_sharded,
+                                             mesh) if mesh is not None
+                           else extract_features_batch)
+                feats, poss, _ = extract(
                     extractor_params, jnp.asarray(canvases),
                     jnp.asarray(metas), jnp.asarray(sizes),
                     num_objects=num_objects, max_obj=max_obj)
@@ -309,12 +319,20 @@ def run_etl(cfg: Config, *, coco_root: str,
             print("[etl] valid: coco-val-df.p written")
         print(f"[etl] {split}: caption artifacts written")
 
+        import jax
+        mesh = None
+        if d.image_model == "YOLOv5" and jax.device_count() > 1 \
+                and batch_size % jax.device_count() == 0:
+            from ..parallel import mesh as pmesh
+            mesh = pmesh.make_mesh()        # all devices on `data`
+            print(f"[etl] sharding extraction over "
+                  f"{jax.device_count()} devices")
         feats, poss = extract_split_features(
             list(file_names), extractor_params=extractor,
             num_objects=cfg.model.num_objects, max_obj=d.max_obj,
             batch_size=batch_size, image_model=d.image_model,
             rect_letterbox=d.rect_letterbox,
-            num_position_dims=cfg.model.dim_positions)
+            num_position_dims=cfg.model.dim_positions, mesh=mesh)
         save_hkl(feats, os.path.join(out_dir, f"{split}.features.hkl"))
         save_hkl(poss, os.path.join(out_dir, f"{split}.positions.hkl"))
         print(f"[etl] {split}: features {feats.shape} saved")

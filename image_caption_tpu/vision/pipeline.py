@@ -217,6 +217,32 @@ def extract_features_batch(params: ExtractorParams,
     return feats, positions, boxes_orig
 
 
+def extract_features_sharded(mesh, params: ExtractorParams,
+                             canvases: jnp.ndarray,
+                             metas: jnp.ndarray,
+                             orig_sizes: jnp.ndarray,
+                             **kwargs):
+    """Data-parallel extraction over a device mesh (the 5k img/s north
+    star is a v5e-8 figure — extraction scales embarrassingly over the
+    ``data`` axis: params replicated, batch sharded, zero collectives).
+
+    The batch dim must divide the ``data`` axis size.  Accepts the same
+    keyword options as :func:`extract_features_batch`."""
+    from ..parallel import mesh as pmesh
+    b = canvases.shape[0]
+    ndata = mesh.shape[pmesh.DATA_AXIS]
+    if b % ndata:
+        raise ValueError(f"batch {b} not divisible by data axis {ndata}")
+    ds = pmesh.data_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl),
+                                    params)
+    canvases, metas, orig_sizes = (jax.device_put(x, ds) for x in
+                                   (canvases, metas, orig_sizes))
+    return extract_features_batch(params, canvases, metas, orig_sizes,
+                                  **kwargs)
+
+
 # ---------------------------------------------------------------------------
 # Faster R-CNN path (core/preprocess.py:141-221 contract)
 # ---------------------------------------------------------------------------

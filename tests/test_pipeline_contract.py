@@ -88,3 +88,35 @@ def test_full_slots_when_uncapped(tiny_extractor):
     assert feats.shape[1] == 9
     # random-init detector at conf 0.01 fires plenty: all 8 slots live
     assert np.all(np.abs(feats[:, 1:]).sum(-1) > 0)
+
+
+def test_sharded_extraction_matches_single_device(tiny_extractor):
+    """Data-parallel extraction over the 8-device CPU mesh == the
+    unsharded program (params replicated, batch sharded, no
+    collectives)."""
+    from image_caption_tpu.parallel import mesh as pmesh
+    from image_caption_tpu.vision.pipeline import extract_features_sharded
+    mesh = pmesh.make_mesh()
+    canvases, metas, sizes = _inputs(b=8)
+    kw = dict(num_objects=8, max_obj=3, crop_size=32,
+              compute_dtype=jnp.float32)
+    f0, p0, b0 = extract_features_batch(tiny_extractor, canvases, metas,
+                                        sizes, **kw)
+    f1, p1, b1 = extract_features_sharded(mesh, tiny_extractor, canvases,
+                                          metas, sizes, **kw)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_extraction_rejects_indivisible_batch(tiny_extractor):
+    from image_caption_tpu.parallel import mesh as pmesh
+    from image_caption_tpu.vision.pipeline import extract_features_sharded
+    mesh = pmesh.make_mesh()
+    canvases, metas, sizes = _inputs(b=3)
+    with pytest.raises(ValueError):
+        extract_features_sharded(mesh, tiny_extractor, canvases, metas,
+                                 sizes, num_objects=8, crop_size=32)
