@@ -119,7 +119,13 @@ def bench_xe_step(batch=32):
     from image_caption_tpu.train.loop import Trainer
     cfg = _flagship().with_overrides(**{"train.batch_size": batch})
     trainer = Trainer(cfg, rng=jax.random.PRNGKey(0))
-    feats, pos, caps = _fake_caption_batch(cfg.model, batch)
+    # pre-place the batch on device: the real train loop prefetches
+    # batches to device ahead of the step (data/prefetch.py), so timing
+    # the host->device upload per step would measure the tunnel, not the
+    # step (shard_batch on an already-placed array is a no-op)
+    from image_caption_tpu.parallel import mesh as pmesh
+    feats, pos, caps = pmesh.shard_batch(
+        trainer.mesh, _fake_caption_batch(cfg.model, batch))
 
     def step():
         return trainer.train_step(feats, pos, caps)["loss"]
