@@ -2,7 +2,7 @@
 
 Metrics (all single-chip):
   * feature_extraction_throughput — full YOLOv5x + ResNet-101 crop
-    pipeline (vision/pipeline.py), batch 32, bf16, cap_half (19 crops/
+    pipeline (vision/pipeline.py), batch 64, bf16, cap_half (19 crops/
     image); vs the 5k img/s v5e-8 north star => 625 img/s/chip target.
   * feature_extraction_throughput_etl — same pipeline in the offline-ETL
     configuration (max_obj=5: 6 crops/image, what features.py runs).
@@ -89,7 +89,7 @@ def _extract_inputs(batch):
     return s["params"], s["canvases"], s["metas"], s["sizes"]
 
 
-def bench_extraction(batch=32):
+def bench_extraction(batch=64):
     from image_caption_tpu.vision.pipeline import extract_features_batch
     params, canvases, metas, sizes = _extract_inputs(batch)
     dt = _median_time(lambda: extract_features_batch(
@@ -100,7 +100,7 @@ def bench_extraction(batch=32):
             "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
 
 
-def bench_extraction_etl(batch=32):
+def bench_extraction_etl(batch=64):
     """The offline ETL configuration (max_obj=5 — what features.py runs
     over the whole dataset, core/dataset.py:63-64): 6 crops/image instead
     of 19."""
