@@ -77,10 +77,12 @@ _EXTRACT_STATE: dict = {}
 def _extract_inputs(batch):
     import jax.numpy as jnp
     from image_caption_tpu.vision.pipeline import init_extractor
-    if not _EXTRACT_STATE:
+    if "params" not in _EXTRACT_STATE:
+        _EXTRACT_STATE["params"] = init_extractor()
+    if _EXTRACT_STATE.get("batch") != batch:    # cache keyed by batch
         rng = np.random.RandomState(0)
         _EXTRACT_STATE.update(
-            params=init_extractor(),
+            batch=batch,
             canvases=jnp.asarray(
                 rng.rand(batch, 640, 640, 3).astype(np.float32) * 255.0),
             metas=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (batch, 1)),
@@ -89,29 +91,27 @@ def _extract_inputs(batch):
     return s["params"], s["canvases"], s["metas"], s["sizes"]
 
 
-def bench_extraction(batch=64):
+def _bench_extraction_config(metric, batch, **kwargs):
     from image_caption_tpu.vision.pipeline import extract_features_batch
     params, canvases, metas, sizes = _extract_inputs(batch)
     dt = _median_time(lambda: extract_features_batch(
-        params, canvases, metas, sizes), warmup=2, iters=5)
+        params, canvases, metas, sizes, **kwargs), warmup=2, iters=5)
     v = batch / dt
-    return {"metric": "feature_extraction_throughput",
+    return {"metric": metric,
             "value": round(v, 2), "unit": "images/sec/chip",
             "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+
+
+def bench_extraction(batch=64):
+    return _bench_extraction_config("feature_extraction_throughput", batch)
 
 
 def bench_extraction_etl(batch=64):
     """The offline ETL configuration (max_obj=5 — what features.py runs
     over the whole dataset, core/dataset.py:63-64): 6 crops/image instead
     of 19."""
-    from image_caption_tpu.vision.pipeline import extract_features_batch
-    params, canvases, metas, sizes = _extract_inputs(batch)
-    dt = _median_time(lambda: extract_features_batch(
-        params, canvases, metas, sizes, max_obj=5), warmup=2, iters=5)
-    v = batch / dt
-    return {"metric": "feature_extraction_throughput_etl",
-            "value": round(v, 2), "unit": "images/sec/chip",
-            "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+    return _bench_extraction_config("feature_extraction_throughput_etl",
+                                    batch, max_obj=5)
 
 
 def bench_xe_step(batch=32):

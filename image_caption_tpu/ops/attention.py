@@ -149,7 +149,7 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
         preferred_element_type=f32) * inv_t).astype(dk_ref.dtype)
 
 
-def _pallas_specs(b, h, lq, lk, dh):
+def _pallas_specs(h, lq, lk, dh):
     qspec = pl.BlockSpec((1, h, lq, dh), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, h, lk, dh), lambda i: (i, 0, 0, 0),
@@ -171,7 +171,7 @@ def fused_attention(q, k, v, mask_i8, temperature):
 def _fused_fwd_call(q, k, v, mask_i8, temperature):
     b, h, lq, dh = q.shape
     lk = k.shape[2]
-    qspec, kspec, mspec = _pallas_specs(b, h, lq, lk, dh)
+    qspec, kspec, mspec = _pallas_specs(h, lq, lk, dh)
     return pl.pallas_call(
         functools.partial(_fused_attention_kernel, temperature=temperature),
         out_shape=jax.ShapeDtypeStruct((b, h, lq, dh), q.dtype),
@@ -189,7 +189,7 @@ def _fused_bwd(temperature, residuals, g):
     q, k, v, mask_i8 = residuals
     b, h, lq, dh = q.shape
     lk = k.shape[2]
-    qspec, kspec, mspec = _pallas_specs(b, h, lq, lk, dh)
+    qspec, kspec, mspec = _pallas_specs(h, lq, lk, dh)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attention_bwd_kernel, temperature=temperature),
         out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),

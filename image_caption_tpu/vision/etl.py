@@ -155,11 +155,16 @@ def extract_split_features(image_paths: Sequence[str], *,
     all_feats = np.zeros((n, s, 2048), np.float32)
     all_pos = np.zeros((n, s, num_position_dims), np.float32)
 
-    pool = ThreadPoolExecutor(num_workers)
+    # two pools: per-image decodes fan out on io_pool, while batch_pool's
+    # single thread runs load_batch itself — submitting load_batch to the
+    # SAME pool it maps over deadlocks at num_workers=1 (the lone worker
+    # would wait on map tasks that can never be scheduled)
+    io_pool = ThreadPoolExecutor(num_workers)
+    batch_pool = ThreadPoolExecutor(1)
 
     def load_batch(start):
         paths = image_paths[start:start + batch_size]
-        loaded = list(pool.map(
+        loaded = list(io_pool.map(
             lambda p: _load_letterboxed(p, canvas_size,
                                         rect=rect_letterbox and
                                         not frcnn), paths))
@@ -189,12 +194,13 @@ def extract_split_features(image_paths: Sequence[str], *,
     # per IMAGE (features.py:87-119 with per-item preprocess).
     starts = list(range(0, n, batch_size))
     try:
-        next_fut = pool.submit(load_batch, starts[0]) if starts else None
+        next_fut = batch_pool.submit(load_batch, starts[0]) \
+            if starts else None
         pending = None
         for i, start in enumerate(starts):
             canvases, metas, sizes, real = next_fut.result()
             if i + 1 < len(starts):
-                next_fut = pool.submit(load_batch, starts[i + 1])
+                next_fut = batch_pool.submit(load_batch, starts[i + 1])
             if frcnn:
                 feats, poss, _ = extract_features_frcnn(
                     extractor_params, jnp.asarray(canvases),
@@ -216,7 +222,8 @@ def extract_split_features(image_paths: Sequence[str], *,
         if pending is not None:
             drain(pending)
     finally:
-        pool.shutdown()
+        batch_pool.shutdown()
+        io_pool.shutdown()
     return all_feats, all_pos
 
 

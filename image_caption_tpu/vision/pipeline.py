@@ -358,13 +358,13 @@ def extract_single_image(path: str, *, image_model: str = "YOLOv5",
     the ultralytics rectangular letterbox (YOLO path only)."""
     if image_model not in ("YOLOv5", "FasterRCNN"):
         raise ValueError(image_model)
-    img = load_image_rgb(path).astype(np.float32)
-    h, w = img.shape[:2]
 
     if image_model == "FasterRCNN":
         key = ("frcnn", weights_dir or "_random")
         if key not in _EXTRACTORS:
             _EXTRACTORS[key] = load_frcnn_extractor(weights_dir)
+        img = load_image_rgb(path).astype(np.float32)
+        h, w = img.shape[:2]
         canvas, meta = letterbox_image(jnp.asarray(img), 800)
         feats, poss, boxes = extract_features_frcnn(
             _EXTRACTORS[key], canvas[None], meta[None],
@@ -374,10 +374,15 @@ def extract_single_image(path: str, *, image_model: str = "YOLOv5",
         if key not in _EXTRACTORS:
             _EXTRACTORS[key] = load_extractor(weights_dir)
         if rect:
+            # _load_letterboxed decodes once and returns (h, w) itself
             from .etl import _load_letterboxed
-            canvas_np, meta_np, _ = _load_letterboxed(path, 640, rect=True)
+            canvas_np, meta_np, hw = _load_letterboxed(path, 640,
+                                                       rect=True)
             canvas, meta = jnp.asarray(canvas_np), jnp.asarray(meta_np)
+            h, w = float(hw[0]), float(hw[1])
         else:
+            img = load_image_rgb(path).astype(np.float32)
+            h, w = img.shape[:2]
             canvas, meta = letterbox_image(jnp.asarray(img), 640)
         feats, poss, boxes = extract_features_batch(
             _EXTRACTORS[key], canvas[None], meta[None],
