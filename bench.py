@@ -2,7 +2,7 @@
 
 Metrics (all single-chip):
   * feature_extraction_throughput — full YOLOv5x + ResNet-101 crop
-    pipeline (vision/pipeline.py), batch 64, bf16, cap_half (19 crops/
+    pipeline (vision/pipeline.py), batch 128, bf16, cap_half (19 crops/
     image); vs the 5k img/s v5e-8 north star => 625 img/s/chip target.
   * feature_extraction_throughput_etl — same pipeline in the offline-ETL
     configuration (max_obj=5: 6 crops/image, what features.py runs).
@@ -102,11 +102,11 @@ def _bench_extraction_config(metric, batch, **kwargs):
             "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
 
 
-def bench_extraction(batch=64):
+def bench_extraction(batch=128):
     return _bench_extraction_config("feature_extraction_throughput", batch)
 
 
-def bench_extraction_etl(batch=64):
+def bench_extraction_etl(batch=128):
     """The offline ETL configuration (max_obj=5 — what features.py runs
     over the whole dataset, core/dataset.py:63-64): 6 crops/image instead
     of 19."""

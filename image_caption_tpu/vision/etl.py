@@ -125,7 +125,7 @@ def extract_split_features(image_paths: Sequence[str], *,
                            weights_dir: Optional[str] = None,
                            num_objects: int = 36,
                            max_obj: Optional[int] = None,
-                           batch_size: int = 64,
+                           batch_size: int = 128,
                            num_workers: int = 8,
                            num_position_dims: int = 84,
                            image_model: str = "YOLOv5",
@@ -233,7 +233,7 @@ def extract_split_features(image_paths: Sequence[str], *,
 
 def run_etl(cfg: Config, *, coco_root: str,
             splits: Sequence[str] = ("train", "valid", "test"),
-            batch_size: int = 64,
+            batch_size: int = 128,
             weights_dir: Optional[str] = None) -> None:
     """features.py:16-119 equivalent against a standard COCO tree:
     ``{coco_root}/annotations/captions_{train,val}2017.json`` and
