@@ -94,7 +94,7 @@ def build_references(records: Sequence[Dict]) -> Dict[int, List[str]]:
 def _load_letterboxed(path: str, size: int = 640, rect: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode + letterbox one image on host (PIL).  Returns
-    (canvas [S,S,3] f32, meta, (h,w)); meta is [scale,top,left] for the
+    (canvas [S,S,3] uint8, meta, (h,w)); meta is [scale,top,left] for the
     square letterbox or [scale,top,left,rect_h,rect_w] for the
     ultralytics rectangular mode (reference LoadImages geometry,
     detect_for_preprocess.py:55,66) — the rect content sits at the
