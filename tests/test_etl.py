@@ -91,3 +91,39 @@ def test_extract_split_features_smoke(tmp_path):
     assert np.all(np.isfinite(feats))
     # whole-image position row
     np.testing.assert_allclose(poss[:, 0, :4], [[0, 0, 1, 1]] * 3)
+
+
+def test_extract_split_features_pipelined_ordering(tmp_path):
+    """The three-stage pipelined loop (load k+1 / compute k / drain k-1)
+    must land every image's features at its own index — compare against
+    per-image extraction, including a ragged final batch and
+    num_workers=1 (which deadlocked when load_batch shared the decode
+    pool)."""
+    import jax
+    from PIL import Image
+    from image_caption_tpu.vision.pipeline import ExtractorParams
+    from image_caption_tpu.vision.etl import extract_split_features
+    from image_caption_tpu.vision.resnet import init_resnet
+    from image_caption_tpu.vision.yolov5 import init_yolov5
+
+    rng = np.random.RandomState(1)
+    paths = []
+    for i in range(5):
+        img = (rng.rand(40 + 8 * i, 56 + 4 * i, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"om{i}.jpg")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+
+    params = ExtractorParams(
+        yolo=init_yolov5(jax.random.PRNGKey(2), depth_multiple=0.33,
+                         width_multiple=0.25),
+        resnet=init_resnet(jax.random.PRNGKey(3), stages=(1, 1, 1, 1)))
+    feats, poss = extract_split_features(
+        paths, extractor_params=params, num_objects=4, batch_size=2,
+        num_workers=1, verbose=False)          # 3 batches, last ragged
+    for i, p in enumerate(paths):
+        f1, p1 = extract_split_features(
+            [p], extractor_params=params, num_objects=4, batch_size=2,
+            num_workers=2, verbose=False)
+        np.testing.assert_allclose(feats[i], f1[0], rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(poss[i], p1[0], rtol=1e-4, atol=1e-4)
