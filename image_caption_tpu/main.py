@@ -186,6 +186,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="config override, e.g. --set train.batch_size=64")
     p.add_argument("--data-path", default=None)
     p.add_argument("--output-path", default=None)
+    # multi-host (pod) wiring — must be handled before any jax backend use
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize before anything "
+                        "touches the backend (TPU pods auto-detect the "
+                        "coordinator; set the flags below elsewhere)")
+    p.add_argument("--coordinator", default=None,
+                   metavar="HOST:PORT", help="coordinator address")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train")
@@ -224,6 +233,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.distributed:
+        # BEFORE any jax.devices()/process_count() — a bare backend query
+        # locks in single-process and the coordinator can never connect
+        from .parallel.distributed import initialize
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
     args.fn(args)
 
 

@@ -7,35 +7,43 @@ story is: every host runs the same program, ``jax.distributed.initialize``
 wires the cluster, and the (data, model, sequence) mesh spans all chips —
 collectives ride ICI within a slice and DCN across slices (XLA picks this
 from the device topology; megascale handles multi-slice meshes).
+
+ORDERING MATTERS: ``initialize`` must run before ANYTHING touches the JAX
+backend — even a bare ``jax.devices()`` / ``jax.process_count()`` call
+initializes a single-process backend and makes a later coordinator
+connect impossible.  This module therefore never queries the backend to
+decide whether to connect; idempotency is a plain module flag, and the
+CLI (``main.py --distributed``) calls it first thing.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
-import jax
+_initialized = False
 
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Idempotent ``jax.distributed.initialize`` — on Cloud TPU all three
-    args auto-detect from the metadata server; pass them explicitly
-    elsewhere.  Single-process runs are a no-op."""
-    if jax.process_count() > 1:
-        return                       # already initialized
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process (no coordinator configured): run locally
-        pass
+    """Connect this process to the cluster (idempotent).
+
+    On Cloud TPU all three args auto-detect from the metadata server;
+    pass them explicitly elsewhere (e.g. the CPU-mesh dryrun).  Only call
+    this when a multi-process run is actually intended — unlike the r2
+    version there is no silent single-process fallback, so a bad
+    coordinator config fails loudly instead of training on 1/N of the
+    pod.
+    """
+    global _initialized
+    if _initialized:
+        return
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _initialized = True
 
 
-def process_batch_slice(global_batch: int) -> slice:
-    """Each host feeds its shard of the global batch (per-host input
-    sharding for pjit over the `data` axis)."""
-    per = global_batch // jax.process_count()
-    start = jax.process_index() * per
-    return slice(start, start + per)
+def is_initialized() -> bool:
+    return _initialized

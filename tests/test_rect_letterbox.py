@@ -51,27 +51,59 @@ def test_rect_geometry_matches_ultralytics(hw):
     assert rect_h <= 640 and rect_w <= 640
 
 
-def test_rect_mask_suppresses_out_of_rect_cells():
-    """Cells below the content rect never produce detections."""
+def test_rect_mask_zeroes_out_of_rect_cells_per_stride():
+    """Cell-level mask semantics at every stride: candidates from cells
+    with ``gy*stride >= rect_h`` must score exactly 0 with the mask while
+    the SAME cells score > 0 without it (sigmoid outputs are strictly
+    positive under random weights), and in-rect cells are untouched.
+    This fails if ``rect_hw`` masking is disabled — the r2 version only
+    checked NMS-level box centers with a ±stride slack that unmasked
+    cells at rows 4-6 also satisfied."""
+    from image_caption_tpu.vision.yolov5 import (YOLO_STRIDES,
+                                                 decode_boxes_scores,
+                                                 init_yolov5, stem_is_focus,
+                                                 yolov5_raw)
+
+    params = init_yolov5(jax.random.PRNGKey(0), depth_multiple=0.33,
+                         width_multiple=0.25)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    rect_h = 32.0
+    rect = jnp.asarray([[rect_h, 64.0]] * 2)
+
+    raw = yolov5_raw(params, imgs, jnp.float32,
+                     focus_stem=stem_is_focus(params))
+    _, s_masked, _ = decode_boxes_scores(params, raw, rect_hw=rect)
+    _, s_full, _ = decode_boxes_scores(params, raw)
+    s_masked, s_full = np.asarray(s_masked), np.asarray(s_full)
+
+    off = 0
+    for stride in YOLO_STRIDES:
+        h = w = 64 // stride
+        n = h * w * 3          # flat layout: ((gy*w)+gx)*3 + anchor
+        sm = s_masked[:, off:off + n].reshape(2, h, w, 3)
+        sf = s_full[:, off:off + n].reshape(2, h, w, 3)
+        out_rows = np.arange(h) * stride >= rect_h
+        assert out_rows.any() and (~out_rows).any(), stride
+        assert np.all(sm[:, out_rows] == 0.0), stride
+        assert np.all(sf[:, out_rows] > 0.0), stride   # fire without mask
+        np.testing.assert_array_equal(sm[:, ~out_rows], sf[:, ~out_rows])
+        off += n
+    assert off == s_masked.shape[1]
+
+
+def test_rect_mask_nms_smoke():
+    """End-to-end detect with the mask still yields detections and never
+    more than the unmasked run."""
     from image_caption_tpu.vision.yolov5 import init_yolov5, yolov5_detect
 
     params = init_yolov5(jax.random.PRNGKey(0), depth_multiple=0.33,
                          width_multiple=0.25)
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
-
-    # content rect = top 32 rows only
     rect = jnp.asarray([[32.0, 64.0]] * 2)
     det = yolov5_detect(params, imgs, max_det=16, rect_hw=rect)
-    boxes = np.asarray(det.boxes)
-    valid = np.asarray(det.valid)
-    # every kept box center comes from a cell with y < 32: with stride-8
-    # cells the center stays within (32 - 0.5) + stride margin
-    cy = (boxes[..., 1] + boxes[..., 3]) / 2
-    assert np.all(cy[valid] < 32 + 32)     # cell origin < 32 (+wh slack)
-
     det_full = yolov5_detect(params, imgs, max_det=16)
-    # unmasked detector fires over the whole canvas (random weights emit
-    # candidates everywhere), masked keeps strictly fewer or equal
+    valid = np.asarray(det.valid)
     assert np.asarray(det_full.valid).sum() >= valid.sum()
     assert valid.sum() > 0

@@ -77,7 +77,8 @@ def test_sequence_parallel_matches_dp(tiny_cfg):
 
     ev_sp = compile_eval_step(cfg, mesh_sp, state)
     ev_dp = compile_eval_step(cfg, mesh_dp, state)
-    feats_sp = pmesh.shard_batch(mesh_sp, batch)
+    feats_sp = pmesh.shard_batch(mesh_sp, batch,
+                                 num_slots=cfg.model.num_slots)
     # the slot dim really is sequence-sharded (not silently data-only)
     assert "sequence" in str(feats_sp[0].sharding.spec)
     l_sp = float(ev_sp(pmesh.shard_params(mesh_sp, state.params),
@@ -93,7 +94,8 @@ def test_sequence_axis_falls_back_when_indivisible(tiny_cfg):
     cfg = tiny_cfg  # num_objects=6 -> slots 7 (odd)
     mesh_sp = pmesh.make_mesh(data=-1, model=1, sequence=2)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    batch = pmesh.shard_batch(mesh_sp, make_fake_batch(cfg, batch=8))
+    batch = pmesh.shard_batch(mesh_sp, make_fake_batch(cfg, batch=8),
+                              num_slots=cfg.model.num_slots)
     assert "sequence" not in str(batch[0].sharding.spec)
     ev = compile_eval_step(cfg, mesh_sp, state)
     loss = float(ev(pmesh.shard_params(mesh_sp, state.params),

@@ -76,3 +76,36 @@ def test_decode_captions_rules():
     assert decode_captions(np.array([1, 4, 2]), inv) == ["dog ."]
     # no <END>: no trailing period
     assert decode_captions(np.array([[1, 4, 4]]), inv) == ["dog dog"]
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fixture parity (VERDICT r2 #9)
+# ---------------------------------------------------------------------------
+
+def _tokenizer_fixture():
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "tokenizer_cases.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_tokenizer_matches_recorded_ptb_fixture():
+    """clean -> lower -> PTB tokenize vs hand-transcribed published PTB
+    rules, restricted to constructs that survive the reference's cleaning
+    pass (core/preprocess.py:251-263)."""
+    from image_caption_tpu.data.tokenizer import tokenize_caption
+    for case in _tokenizer_fixture()["verified"]:
+        assert tokenize_caption(case["caption"]) == case["tokens"], \
+            case["caption"]
+
+
+def test_tokenizer_unverified_constructs_pinned():
+    """Times/fractions/slash compounds have no CoreNLP oracle in this
+    environment (docs/parity.md); pin OUR behavior so any change is a
+    deliberate decision, not drift."""
+    from image_caption_tpu.data.tokenizer import tokenize_caption
+    for case in _tokenizer_fixture()["unverified_pinned"]:
+        assert tokenize_caption(case["caption"]) == case["tokens"], \
+            case["caption"]
