@@ -9,6 +9,9 @@ Metrics (all single-chip):
   * xe_train_steps_per_sec — flagship XE train step, batch 32 (the
     reference's solver shape, core/config.py:59-62); regression floor 5
     steps/s (≈ measured r1 perf / 2 — a genuine slowdown trips it).
+  * rl_train_steps_per_sec — flagship SCST step, batch 32 (two-phase on
+    axon: device sample -> host CIDEr-D/BLEU rewards -> device update);
+    floor 1 step/s.
   * caption_decode_throughput_greedy — KV-cached greedy scan, batch 128;
     floor = the beam north-star per-chip share (greedy must never be
     slower than the beam target).
@@ -31,6 +34,8 @@ import numpy as np
 BEAM_PER_CHIP_TARGET = 500.0 / 8.0   # north-star v5e-8 target, per chip
 EXTRACT_PER_CHIP_TARGET = 5000.0 / 8.0
 XE_STEPS_FLOOR = 5.0                 # steps/s regression floor (batch 32)
+RL_STEPS_FLOOR = 1.0                 # SCST steps/s floor (batch 32; the
+                                     # host reward scoring bounds it)
 WARMUP = 3
 ITERS = 10
 
@@ -114,6 +119,22 @@ def bench_extraction_etl(batch=128):
                                     batch, max_obj=5)
 
 
+def bench_extraction_roi(batch=128):
+    """Opt-in shared-trunk fast mode (feature_mode='roi'): detection at
+    448 + one ResNet-101 trunk over the shared 448 canvas + ROI-aligned
+    slot features instead of a ResNet forward per crop (docs/parity.md
+    caveat applies)."""
+    from image_caption_tpu.vision.pipeline import extract_features_roi
+    params, canvases, metas, sizes = _extract_inputs(batch)
+    dt = _median_time(lambda: extract_features_roi(
+        params, canvases, metas, sizes, max_obj=5, detect_size=448),
+        warmup=2, iters=5)
+    v = batch / dt
+    return {"metric": "feature_extraction_throughput_roi",
+            "value": round(v, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+
+
 def bench_xe_step(batch=32):
     import jax
     from image_caption_tpu.train.loop import Trainer
@@ -124,8 +145,7 @@ def bench_xe_step(batch=32):
     # the host->device upload per step would measure the tunnel, not the
     # step (shard_batch on an already-placed array is a no-op)
     from image_caption_tpu.parallel import mesh as pmesh
-    feats, pos, caps = pmesh.shard_batch(
-        trainer.mesh, _fake_caption_batch(cfg.model, batch))
+    feats, pos, caps = trainer.shard(_fake_caption_batch(cfg.model, batch))
 
     def step():
         return trainer.train_step(feats, pos, caps)["loss"]
@@ -135,6 +155,33 @@ def bench_xe_step(batch=32):
     return {"metric": "xe_train_steps_per_sec",
             "value": round(v, 2), "unit": "steps/sec (batch 32)",
             "vs_baseline": round(v / XE_STEPS_FLOOR, 3)}
+
+
+def bench_rl_step(batch=32):
+    """SCST train step (the reference's most expensive mode,
+    core/models.py:184-195: forward + sample + per-batch string rewards +
+    update).  Uses whichever reward scorer is available (C++ fast path
+    when built, Python fallback otherwise) and whichever step mode the
+    backend supports (two-phase on the tunneled axon runtime)."""
+    import jax
+    from image_caption_tpu.train.loop import RLTrainer
+    cfg = _flagship().with_overrides(**{"train.batch_size": batch})
+    m = cfg.model
+    vocab = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+    vocab.update({f"w{i}": i for i in range(4, m.num_vocab)})
+    trainer = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(0))
+    feats, pos, caps = trainer.shard(_fake_caption_batch(m, batch))
+
+    def step():
+        # two-phase mode syncs on the sampled sequences internally; the
+        # returned metrics floats force the final sync either way
+        return trainer.train_step(feats, pos, caps)["loss"]
+
+    dt = _median_time(step, warmup=2, iters=5)
+    v = 1.0 / dt
+    return {"metric": "rl_train_steps_per_sec",
+            "value": round(v, 2), "unit": "steps/sec (batch 32)",
+            "vs_baseline": round(v / RL_STEPS_FLOOR, 3)}
 
 
 def bench_greedy(batch=128):
@@ -176,8 +223,9 @@ def bench_beam(batch=128, beam=3):
 
 
 def main() -> None:
-    for fn in (bench_extraction, bench_extraction_etl, bench_xe_step,
-               bench_greedy, bench_beam):
+    for fn in (bench_extraction, bench_extraction_etl,
+               bench_extraction_roi, bench_xe_step,
+               bench_rl_step, bench_greedy, bench_beam):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as exc:   # a broken secondary metric must not

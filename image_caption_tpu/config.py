@@ -144,6 +144,15 @@ class DataConfig:
     # the content rect masked (reference LoadImages parity,
     # detect_for_preprocess.py:55,66; see docs/parity.md)
     rect_letterbox: bool = False
+    # feature encoder: 'crop' = ResNet-101 per detection crop (reference
+    # recipe, core/preprocess.py:91-138 — the parity default); 'roi' =
+    # one shared ResNet-101 trunk over the canvas with ROI-aligned slot
+    # features (fast mode; see docs/parity.md caveat — features are NOT
+    # interchangeable with crop-mode features)
+    feature_mode: str = "crop"
+    roi_trunk_size: int = 448            # trunk input for 'roi' mode
+    roi_detect_size: int = 448           # YOLO input for 'roi' mode (the
+    # 640-canvas detector dominates the pipeline; see pipeline.py)
 
     @property
     def word_to_idx_path(self) -> str:

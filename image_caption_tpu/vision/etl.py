@@ -130,6 +130,9 @@ def extract_split_features(image_paths: Sequence[str], *,
                            num_position_dims: int = 84,
                            image_model: str = "YOLOv5",
                            rect_letterbox: bool = False,
+                           feature_mode: str = "crop",
+                           roi_trunk_size: int = 448,
+                           roi_detect_size: Optional[int] = 448,
                            verbose: bool = True,
                            mesh=None
                            ) -> Tuple[np.ndarray, np.ndarray]:
@@ -137,11 +140,12 @@ def extract_split_features(image_paths: Sequence[str], *,
 
     ``mesh``: a ``jax.sharding.Mesh`` to data-parallelize the device
     program over (batch_size must divide its ``data`` axis); None runs
-    single-device."""
+    single-device.  ``feature_mode``: 'crop' (reference recipe) or 'roi'
+    (shared-trunk fast mode, YOLO path only — see docs/parity.md)."""
     import functools
     import jax.numpy as jnp
     from .pipeline import (extract_features_batch, extract_features_frcnn,
-                           extract_features_sharded,
+                           extract_features_roi, extract_features_sharded,
                            load_extractor, load_frcnn_extractor)
 
     frcnn = image_model == "FasterRCNN"
@@ -207,13 +211,22 @@ def extract_split_features(image_paths: Sequence[str], *,
                     jnp.asarray(metas), jnp.asarray(sizes),
                     num_objects=num_objects, canvas=canvas_size)
             else:
-                extract = (functools.partial(extract_features_sharded,
-                                             mesh) if mesh is not None
-                           else extract_features_batch)
+                kw = dict(num_objects=num_objects, max_obj=max_obj)
+                if feature_mode == "roi":
+                    kw["trunk_size"] = roi_trunk_size
+                    kw["detect_size"] = roi_detect_size
+                    single = extract_features_roi
+                else:
+                    single = extract_features_batch
+                if mesh is not None:
+                    extract = functools.partial(extract_features_sharded,
+                                                mesh,
+                                                feature_mode=feature_mode)
+                else:
+                    extract = single
                 feats, poss, _ = extract(
                     extractor_params, jnp.asarray(canvases),
-                    jnp.asarray(metas), jnp.asarray(sizes),
-                    num_objects=num_objects, max_obj=max_obj)
+                    jnp.asarray(metas), jnp.asarray(sizes), **kw)
             if pending is not None:
                 drain(pending)         # previous batch: device is ahead
             pending = (start, real, feats, poss)
@@ -436,6 +449,9 @@ def run_etl(cfg: Config, *, coco_root: str,
             num_objects=cfg.model.num_objects, max_obj=d.max_obj,
             batch_size=batch_size, image_model=d.image_model,
             rect_letterbox=d.rect_letterbox,
+            feature_mode=d.feature_mode,
+            roi_trunk_size=d.roi_trunk_size,
+            roi_detect_size=d.roi_detect_size,
             num_position_dims=cfg.model.dim_positions, mesh=mesh)
         save_hkl(feats, os.path.join(out_dir, f"{split}.features.hkl"))
         save_hkl(poss, os.path.join(out_dir, f"{split}.positions.hkl"))

@@ -86,6 +86,122 @@ def _position_rows(boxes: jnp.ndarray, scores: jnp.ndarray,
     return rows * valid[:, None]
 
 
+class _Selected(NamedTuple):
+    """Shared detect+select state for the crop and roi feature modes."""
+    det: Detections
+    valid: jnp.ndarray           # [B, K] post-cap_half validity
+    boxes_orig: jnp.ndarray      # [B, K, 4] original-pixel xyxy
+    sel_valid: jnp.ndarray       # [B, M] validity of encoded slots 1..M
+    sel_boxes: jnp.ndarray       # [B, M, 4] canvas-px boxes to encode
+    full_box: jnp.ndarray        # [B, 4] whole content rect (canvas px)
+    top_idx: Optional[jnp.ndarray]   # [B, max_obj] area order (max_obj)
+    ow: jnp.ndarray
+    oh: jnp.ndarray
+
+
+def _detect_and_select(params: ExtractorParams, det_canvases, metas,
+                       orig_sizes, *, num_objects: int, cap_half: bool,
+                       max_obj: Optional[int], num_classes: int,
+                       compute_dtype, det_scale: float = 1.0) -> _Selected:
+    """YOLO detect + the reference's slot-selection quirks, shared by the
+    per-crop and roi feature modes.
+
+    ``det_canvases`` may be a RESIZED view of the letterbox canvas (the
+    roi fast mode detects at ``detect_size``); ``det_scale`` =
+    detect_size / canvas_size maps between the two spaces — metas stay in
+    original-canvas coordinates and all returned boxes are rescaled back
+    to them."""
+    k = num_objects
+    from .yolov5 import stem_is_focus
+    rect_hw = metas[:, 3:5] * det_scale if metas.shape[1] >= 5 else None
+    det: Detections = yolov5_detect(params.yolo, det_canvases / 255.0,
+                                    max_det=k, num_classes=num_classes,
+                                    focus_stem=stem_is_focus(params.yolo),
+                                    compute_dtype=compute_dtype,
+                                    rect_hw=rect_hw)
+    if det_scale != 1.0:
+        det = det._replace(boxes=det.boxes / det_scale)  # -> canvas px
+    valid = det.valid
+    if cap_half:
+        # reference keeps only num_obj // 2 detections
+        # (detect_for_preprocess.py:141-142)
+        keep = jnp.arange(k)[None, :] < (num_objects // 2)
+        valid = valid & keep
+
+    oh = orig_sizes[:, 0].astype(jnp.float32)
+    ow = orig_sizes[:, 1].astype(jnp.float32)
+    boxes_orig = jax.vmap(unletterbox_boxes)(det.boxes, metas, oh, ow)
+
+    # select which detections get encoded — the encoder (per-crop ResNet
+    # or roi pooling) is the FLOP budget; slots that can never carry a
+    # feature (beyond the cap_half prefix — NMS compacts kept boxes to the
+    # front — or outside the max_obj top-area set) are never encoded
+    if max_obj is not None:
+        # the max_obj largest-area boxes, area-descending — the
+        # reference sorts by area and keeps the first max_obj crops
+        # COMPACTED into slots 1..max_obj (preprocess.py:105-110)
+        area = (boxes_orig[..., 2] - boxes_orig[..., 0]) * \
+               (boxes_orig[..., 3] - boxes_orig[..., 1])
+        area = jnp.where(valid, area, -1.0)
+        _, top_idx = jax.lax.top_k(area, max_obj)            # [B, M]
+        sel_valid = jnp.take_along_axis(valid, top_idx, axis=1)
+        sel_boxes = jnp.take_along_axis(
+            det.boxes, top_idx[..., None], axis=1)           # canvas px
+    else:
+        n_det = num_objects // 2 if cap_half else num_objects
+        top_idx = None
+        sel_valid = valid[:, :n_det]
+        sel_boxes = det.boxes[:, :n_det]
+
+    r, top, left = metas[:, 0], metas[:, 1], metas[:, 2]
+    full_box = jnp.stack([left, top, left + ow * r, top + oh * r], axis=-1)
+    return _Selected(det=det, valid=valid, boxes_orig=boxes_orig,
+                     sel_valid=sel_valid, sel_boxes=sel_boxes,
+                     full_box=full_box, top_idx=top_idx, ow=ow, oh=oh)
+
+
+def _assemble_outputs(sel: _Selected, feats_sel: jnp.ndarray, *,
+                      num_objects: int, max_obj: Optional[int],
+                      num_classes: int):
+    """Zero-pad encoded features to S slots and build position rows
+    (preprocess.py:112-134 contract, incl. the max_obj two-row quirk)."""
+    b = feats_sel.shape[0]
+    s = num_objects + 1
+    m = feats_sel.shape[1] - 1           # encoded detection slots
+
+    slot_valid = jnp.concatenate(
+        [jnp.ones((b, 1), bool), sel.sel_valid], axis=1)  # [B, 1+M]
+    feats_sel = feats_sel * slot_valid[..., None]
+    feats = jnp.pad(feats_sel, ((0, 0), (0, s - (m + 1)), (0, 0)))
+
+    pos_obj = jax.vmap(_position_rows, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        sel.boxes_orig, sel.det.scores, sel.det.classes, sel.valid,
+        sel.ow, sel.oh, num_classes)
+    full_row = jnp.concatenate(
+        [jnp.asarray([0.0, 0.0, 1.0, 1.0]),
+         jnp.zeros((num_classes,))])[None, None, :]
+
+    if max_obj is not None:
+        # cached-dataset quirk (preprocess.py:105-123): exactly TWO
+        # position rows survive — the whole-image row and the
+        # largest-area detection's row (``positions = [positions[0]]``
+        # after the area sort, then the whole-image row is prepended)
+        row1 = jnp.take_along_axis(
+            pos_obj, sel.top_idx[:, :1, None], axis=1)       # [B,1,4+C]
+        row1 = row1 * sel.sel_valid[:, :1, None]
+        pos_tail = jnp.zeros((b, s - 2, 4 + num_classes))
+        positions = jnp.concatenate(
+            [jnp.broadcast_to(full_row, (b, 1, 4 + num_classes)),
+             row1, pos_tail], axis=1)
+    else:
+        positions = jnp.concatenate(
+            [jnp.broadcast_to(full_row, (b, 1, 4 + num_classes)), pos_obj],
+            axis=1)
+
+    # shape contract: S = num_objects + 1 slots (preprocess.py:125-134)
+    return feats[:, :s], positions[:, :s], sel.boxes_orig
+
+
 @partial(jax.jit,
          static_argnames=("num_objects", "cap_half", "max_obj",
                           "num_classes", "crop_size", "compute_dtype",
@@ -102,7 +218,7 @@ def extract_features_batch(params: ExtractorParams,
                            compute_dtype=jnp.bfloat16,
                            use_pallas: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """The whole pipeline for a batch.
+    """The whole per-crop pipeline for a batch (the parity default).
 
     canvases  [B, 640, 640, 3] float32 RGB 0..255 (letterboxed);
     metas     [B, 3] (scale, top, left) from ``letterbox_image``, or
@@ -117,52 +233,13 @@ def extract_features_batch(params: ExtractorParams,
     pass float32 for bit-fidelity studies.
     """
     b = canvases.shape[0]
-    s = num_objects + 1
-    k = num_objects            # detector slots
-
-    from .yolov5 import stem_is_focus
-    rect_hw = metas[:, 3:5] if metas.shape[1] >= 5 else None
-    det: Detections = yolov5_detect(params.yolo, canvases / 255.0,
-                                    max_det=k, num_classes=num_classes,
-                                    focus_stem=stem_is_focus(params.yolo),
-                                    compute_dtype=compute_dtype,
-                                    rect_hw=rect_hw)
-    valid = det.valid
-    if cap_half:
-        # reference keeps only num_obj // 2 detections
-        # (detect_for_preprocess.py:141-142)
-        keep = jnp.arange(k)[None, :] < (num_objects // 2)
-        valid = valid & keep
-
-    oh = orig_sizes[:, 0].astype(jnp.float32)
-    ow = orig_sizes[:, 1].astype(jnp.float32)
-    boxes_orig = jax.vmap(unletterbox_boxes)(det.boxes, metas, oh, ow)
-
-    # ---- select which detections get a ResNet crop ------------------
-    # ResNet-101 over crops is the pipeline's FLOP budget; slots that can
-    # never carry a feature (beyond the cap_half prefix — NMS compacts
-    # kept boxes to the front — or outside the max_obj top-area set) are
-    # never cropped or encoded.
-    if max_obj is not None:
-        # the max_obj largest-area boxes, area-descending — the
-        # reference sorts by area and keeps the first max_obj crops
-        # COMPACTED into slots 1..max_obj (preprocess.py:105-110)
-        area = (boxes_orig[..., 2] - boxes_orig[..., 0]) * \
-               (boxes_orig[..., 3] - boxes_orig[..., 1])
-        area = jnp.where(valid, area, -1.0)
-        _, top_idx = jax.lax.top_k(area, max_obj)            # [B, M]
-        sel_valid = jnp.take_along_axis(valid, top_idx, axis=1)
-        det_crop_boxes = jnp.take_along_axis(
-            det.boxes, top_idx[..., None], axis=1)           # canvas px
-    else:
-        n_det = num_objects // 2 if cap_half else num_objects
-        sel_valid = valid[:, :n_det]
-        det_crop_boxes = det.boxes[:, :n_det]
+    sel = _detect_and_select(params, canvases, metas, orig_sizes,
+                             num_objects=num_objects, cap_half=cap_half,
+                             max_obj=max_obj, num_classes=num_classes,
+                             compute_dtype=compute_dtype)
 
     # ---- crops: slot 0 = the whole letterboxed content region ----
-    r, top, left = metas[:, 0], metas[:, 1], metas[:, 2]
-    full_box = jnp.stack([left, top, left + ow * r, top + oh * r], axis=-1)
-    crop_boxes = jnp.concatenate([full_box[:, None, :], det_crop_boxes],
+    crop_boxes = jnp.concatenate([sel.full_box[:, None, :], sel.sel_boxes],
                                  axis=1)          # [B, 1+M, 4]
     m = crop_boxes.shape[1]
 
@@ -181,40 +258,85 @@ def extract_features_batch(params: ExtractorParams,
                                 compute_dtype=compute_dtype,
                                 use_pallas=use_pallas
                                 ).reshape(b, m, -1)
+    return _assemble_outputs(sel, feats_sel, num_objects=num_objects,
+                             max_obj=max_obj, num_classes=num_classes)
 
-    slot_valid = jnp.concatenate(
-        [jnp.ones((b, 1), bool), sel_valid], axis=1)  # [B, 1+M]
-    feats_sel = feats_sel * slot_valid[..., None]
-    feats = jnp.pad(feats_sel, ((0, 0), (0, s - m), (0, 0)))
 
-    # ---- positions ----
-    pos_obj = jax.vmap(_position_rows, in_axes=(0, 0, 0, 0, 0, 0, None))(
-        boxes_orig, det.scores, det.classes, valid, ow, oh, num_classes)
-    full_row = jnp.concatenate(
-        [jnp.asarray([0.0, 0.0, 1.0, 1.0]),
-         jnp.zeros((num_classes,))])[None, None, :]
+@partial(jax.jit,
+         static_argnames=("num_objects", "cap_half", "max_obj",
+                          "num_classes", "trunk_size", "roi_bins",
+                          "detect_size", "compute_dtype"))
+def extract_features_roi(params: ExtractorParams,
+                         canvases: jnp.ndarray,
+                         metas: jnp.ndarray,
+                         orig_sizes: jnp.ndarray, *,
+                         num_objects: int = 36,
+                         cap_half: bool = True,
+                         max_obj: Optional[int] = None,
+                         num_classes: int = 80,
+                         trunk_size: int = 448,
+                         roi_bins: int = 7,
+                         detect_size: Optional[int] = None,
+                         compute_dtype=jnp.bfloat16
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared-trunk fast extraction (opt-in ``feature_mode="roi"``).
 
-    if max_obj is not None:
-        # cached-dataset quirk (preprocess.py:105-123): exactly TWO
-        # position rows survive — the whole-image row and the
-        # largest-area detection's row (``positions = [positions[0]]``
-        # after the area sort, then the whole-image row is prepended)
-        row1 = jnp.take_along_axis(
-            pos_obj, top_idx[:, :1, None], axis=1)           # [B,1,4+C]
-        row1 = row1 * sel_valid[:, :1, None]
-        pos_tail = jnp.zeros((b, s - 2, 4 + num_classes))
-        positions = jnp.concatenate(
-            [jnp.broadcast_to(full_row, (b, 1, 4 + num_classes)),
-             row1, pos_tail], axis=1)
-    else:
-        positions = jnp.concatenate(
-            [jnp.broadcast_to(full_row, (b, 1, 4 + num_classes)), pos_obj],
-            axis=1)
+    Instead of running ResNet-101 over every detection crop (the
+    reference's recipe, core/preprocess.py:91-138: ~8 GF x crops per
+    image), the canvas is encoded ONCE — ResNet-101 through stage 4 at
+    ``trunk_size`` — and each slot's 2048-d feature is ROI-aligned +
+    average-pooled from the stride-32 trunk map (the bottom-up-attention
+    design the reference approximates by cropping).  Detection, slot
+    selection, and position rows are IDENTICAL to the per-crop mode.
 
-    # shape contract: S = num_objects + 1 slots (preprocess.py:125-134)
-    feats = feats[:, :s]
-    positions = positions[:, :s]
-    return feats, positions, boxes_orig
+    ``detect_size``: run YOLOv5 on a resized view of the canvas (None =
+    full canvas).  At B=128 bf16 the 640-canvas detector alone costs
+    ~213 ms/batch (68% of its FLOPs bound) and dominates the whole
+    pipeline; at 448 it is ~113 ms, and when ``detect_size ==
+    trunk_size`` the resized canvas is shared with the trunk.  Detection
+    at reduced resolution is part of this mode's documented fidelity
+    trade (docs/parity.md).
+
+    Fidelity caveat (docs/parity.md): features are grid-pooled trunk
+    activations, not per-crop ResNet encodings — a captioner must be
+    trained on the same feature mode it decodes with.  The per-crop mode
+    stays the parity default.
+    """
+    b = canvases.shape[0]
+    canvas_size = canvases.shape[1]
+    detect_size = detect_size or canvas_size
+
+    def resized(size):
+        if size == canvas_size:
+            return canvases.astype(compute_dtype)
+        return jax.image.resize(canvases.astype(compute_dtype),
+                                (b, size, size, 3), method="bilinear")
+
+    det_canvas = resized(detect_size)
+    sel = _detect_and_select(params, det_canvas, metas, orig_sizes,
+                             num_objects=num_objects, cap_half=cap_half,
+                             max_obj=max_obj, num_classes=num_classes,
+                             compute_dtype=compute_dtype,
+                             det_scale=detect_size / canvas_size)
+
+    # ---- one trunk forward over the (resized) canvas ----
+    from .resnet import resnet_feature_maps
+    x = det_canvas if trunk_size == detect_size else resized(trunk_size)
+    x = ((x.astype(jnp.float32) / 255.0 - IMAGENET_MEAN)
+         / IMAGENET_STD).astype(compute_dtype)
+    c5 = resnet_feature_maps(params.resnet, x,
+                             compute_dtype=compute_dtype)[-1]
+    c5 = c5.astype(jnp.float32)        # [B, t/32, t/32, 2048]
+
+    # ---- roi-align every slot box (slot 0 = whole content rect) ----
+    roi_boxes = jnp.concatenate([sel.full_box[:, None, :], sel.sel_boxes],
+                                axis=1)           # [B, 1+M, 4] canvas px
+    fm_scale = (trunk_size / canvas_size) / 32.0  # canvas px -> map cells
+    rois = jax.vmap(lambda fm, bx: crop_and_resize(
+        fm, bx * fm_scale, roi_bins, method="linear"))(c5, roi_boxes)
+    feats_sel = rois.mean(axis=(2, 3))            # [B, 1+M, 2048]
+    return _assemble_outputs(sel, feats_sel, num_objects=num_objects,
+                             max_obj=max_obj, num_classes=num_classes)
 
 
 # one (source params, mesh) -> replicated params entry; the strong ref to
@@ -243,14 +365,16 @@ def replicate_extractor_params(mesh, params):
 def extract_features_sharded(mesh, params: ExtractorParams,
                              canvases: jnp.ndarray,
                              metas: jnp.ndarray,
-                             orig_sizes: jnp.ndarray,
+                             orig_sizes: jnp.ndarray, *,
+                             feature_mode: str = "crop",
                              **kwargs):
     """Data-parallel extraction over a device mesh (the 5k img/s north
     star is a v5e-8 figure — extraction scales embarrassingly over the
     ``data`` axis: params replicated, batch sharded, zero collectives).
 
     The batch dim must divide the ``data`` axis size.  Accepts the same
-    keyword options as :func:`extract_features_batch`."""
+    keyword options as :func:`extract_features_batch` /
+    :func:`extract_features_roi` (selected by ``feature_mode``)."""
     from ..parallel import mesh as pmesh
     b = canvases.shape[0]
     ndata = mesh.shape[pmesh.DATA_AXIS]
@@ -260,8 +384,9 @@ def extract_features_sharded(mesh, params: ExtractorParams,
     params = replicate_extractor_params(mesh, params)
     canvases, metas, orig_sizes = (jax.device_put(x, ds) for x in
                                    (canvases, metas, orig_sizes))
-    return extract_features_batch(params, canvases, metas, orig_sizes,
-                                  **kwargs)
+    fn = extract_features_roi if feature_mode == "roi" \
+        else extract_features_batch
+    return fn(params, canvases, metas, orig_sizes, **kwargs)
 
 
 # ---------------------------------------------------------------------------
