@@ -9,7 +9,20 @@ Two execution paths:
     are consumed (demo overlays) or attention dropout is active.
   * ``fused_attention``  — single-pass fused Pallas kernel (scores, mask,
     softmax, weighted sum in VMEM; one HBM round-trip) with a custom VJP
-    whose backward is also one kernel; serves inference AND training.
+    whose backward is also one kernel.
+
+Scope (measured, r3): the kernel's win is the DECODE path (it carries the
+beam-3 headline, docs/performance.md).  On the training path it is
+differentiable but (a) the parity configs train with
+``attention_dropout=0.1`` (config.py DROPOUT block; reference
+modules.py:8), which the kernel does not implement — dropout inside the
+fused kernel needs the pltpu PRNG, which this environment cannot iterate
+on (no interpret-mode support, ~6 min blind TPU compiles) — and
+(b) with attention dropout OFF the measured train-step delta at the
+flagship shape (rep-delta, B=32, fwd+bwd) is XLA ~10.1 ms vs Pallas
+~9.1 ms — inside tunnel noise.  The custom VJP therefore stays available
+for dropout-free training and as long-sequence headroom, not as a
+train-step optimization.
 
 Shapes: q [B, H, Lq, Dh], k/v [B, H, Lk, Dh], mask bool [B, Lq, Lk]
 (True = masked).
