@@ -1,16 +1,20 @@
 """Streaming-feature soak: the HklDataset gather path under the real
 Prefetcher threading must (a) feed batches identical to the eager path,
-(b) train with identical losses, and (c) keep peak RSS below the eager
-path's by about the materialized-split size — the point of streaming is
-that the ~33 GB COCO train split never materializes
+(b) train with identical losses, and (c) never materialize the split —
+the point of streaming is that the ~33 GB COCO train split stays on disk
 (``/root/reference/core/utils.py:45-46`` loads all of it).  VERDICT r2 #8.
 
-RSS is compared between two otherwise-identical SUBPROCESS runs (this
+Memory is compared between two otherwise-identical SUBPROCESS runs (this
 file doubles as the child: ``python test_streaming.py <never|always>
-<data_dir>``): in-process before/after deltas are allocator noise
-(glibc arenas grew ~100 MB on a run that provably gathered only
-16-row batches), while the eager child's high-water mark must carry the
-whole decompressed split and the streaming child's must not.
+<data_dir>``).  The asserted metric is the **tracemalloc peak** — numpy
+registers its buffers with tracemalloc, so the eager child's peak must
+carry the whole decompressed split and the streaming child's only
+batch-sized gathers.  OS-level peak RSS is reported alongside for eyes
+but NOT asserted: it proved environment-dependent (under the driver's
+instrumented harness both children once reported a byte-identical
+6.6 GB ru_maxrss that swamped the 155 MB split — an accounting artifact
+outside the process's own allocations), while tracemalloc measures
+exactly the thing being pinned.
 """
 
 import json
@@ -66,8 +70,9 @@ def test_streaming_batches_match_eager(big_synth_dir):
 
 def _child(streaming: str, data_dir: str) -> None:
     """Subprocess body: 30 Prefetcher-fed train steps; prints losses +
-    peak RSS as JSON."""
+    tracemalloc peak (+ peak RSS, informational) as JSON."""
     import resource
+    import tracemalloc
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -83,6 +88,7 @@ def _child(streaming: str, data_dir: str) -> None:
 
     cfg = get_preset("maxlen49_64").with_overrides(**{
         "model.num_vocab": 64, "train.batch_size": 16})
+    tracemalloc.start()
     split = load_split(data_dir, "train", verbose=False,
                        streaming=streaming)
     trainer = Trainer(cfg, rng=jax.random.PRNGKey(0))
@@ -100,8 +106,10 @@ def _child(streaming: str, data_dir: str) -> None:
     if streaming == "always":
         split.features.close()
         split.positions.close()
+    _, traced_peak = tracemalloc.get_traced_memory()
     print(json.dumps({
         "losses": losses,
+        "traced_peak": traced_peak,
         "maxrss": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         * 1024}))
 
@@ -128,10 +136,14 @@ def test_streaming_trains_like_eager_with_bounded_rss(big_synth_dir):
     np.testing.assert_allclose(stream["losses"], eager["losses"],
                                rtol=1e-6)
     assert len(stream["losses"]) == N_STEPS
-    # the eager child materializes the split (~155 MB); the streaming
-    # child must peak at least ~40% of that below it
-    assert stream["maxrss"] < eager["maxrss"] - 0.4 * MAT_BYTES, \
-        (stream["maxrss"], eager["maxrss"], MAT_BYTES)
+    # the eager child materializes the split (~155 MB of numpy buffers,
+    # all tracemalloc-tracked); the streaming child must allocate only
+    # batch-sized gathers
+    assert eager["traced_peak"] > MAT_BYTES, \
+        (eager["traced_peak"], MAT_BYTES)
+    assert stream["traced_peak"] < 0.5 * MAT_BYTES, \
+        (stream["traced_peak"], eager["traced_peak"], MAT_BYTES,
+         stream["maxrss"], eager["maxrss"])
 
 
 if __name__ == "__main__":
