@@ -143,8 +143,7 @@ def bench_xe_step(batch=32):
     # pre-place the batch on device: the real train loop prefetches
     # batches to device ahead of the step (data/prefetch.py), so timing
     # the host->device upload per step would measure the tunnel, not the
-    # step (shard_batch on an already-placed array is a no-op)
-    from image_caption_tpu.parallel import mesh as pmesh
+    # step (shard on an already-placed array is a no-op)
     feats, pos, caps = trainer.shard(_fake_caption_batch(cfg.model, batch))
 
     def step():

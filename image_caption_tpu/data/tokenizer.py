@@ -17,7 +17,13 @@ from typing import List
 
 # Characters CoreNLP PTB treats as separate tokens and that survive the
 # reference's cleaning pass (it removes . , ' " ( ) & -).
-_PUNCT_SPLIT = re.compile(r"([!?;:@#$%^*+=<>/\\\[\]{}|~`])")
+_PUNCT_SPLIT = re.compile(r"([!?;@#$%^*+=<>\\\[\]{}|~`])")
+# ':' and '/' split EXCEPT between digits: both CoreNLP's PTBLexer number
+# patterns and NLTK's independent TreebankWordTokenizer keep times (3:30)
+# and numeric fractions (1/2) as single tokens; word compounds
+# (indoor/outdoor) are split like CoreNLP 4.x's splitForwardSlash default.
+# Cross-validated against NLTK in tests/test_vocab.py.
+_COLON_SLASH_SPLIT = re.compile(r"((?<!\d)[:/]|[:/](?!\d))")
 _WS = re.compile(r"\s+")
 
 
@@ -41,6 +47,7 @@ def ptb_tokenize(text: str) -> List[str]:
     split with residual punctuation split into its own tokens.
     """
     text = _PUNCT_SPLIT.sub(r" \1 ", text)
+    text = _COLON_SLASH_SPLIT.sub(r" \1 ", text)
     return [t for t in _WS.split(text.strip()) if t]
 
 

@@ -73,6 +73,14 @@ class RewardComputer:
             except Exception:
                 self._native = None
 
+    @property
+    def uses_frozen_df(self) -> bool:
+        """True when CIDEr-D scores against a pre-loaded document-frequency
+        table — rewards are then independent of which other rows are in
+        the scored batch (multi-host RL scores per-host subsets only in
+        this mode; see train/loop.py:_host_rewards)."""
+        return self.ciderD.doc_frequency is not None
+
     def decode(self, seqs: np.ndarray) -> list:
         return decode_captions(np.asarray(seqs), self.idx_to_word)
 

@@ -134,12 +134,53 @@ class Trainer:
         return ["loss"]          # WRITE_LOG for XE (core/config.py:65-66)
 
 
+def _local_row_blocks(arr) -> List:
+    """Unique dim-0 row blocks of a (possibly multi-process) jax array that
+    THIS process addresses, as ``[(row_slice, np_block)]`` sorted by row.
+
+    Replicas over the ``model``/``sequence`` axes produce shards with the
+    same dim-0 index — deduped here so each row block appears once."""
+    blocks = {}
+    n_rows = arr.shape[0]
+    for s in arr.addressable_shards:
+        r = s.index[0] if s.index else slice(0, n_rows)
+        key = (r.start or 0, n_rows if r.stop is None else r.stop)
+        if key not in blocks:
+            blocks[key] = np.asarray(s.data)
+    return [(slice(k0, k1), v) for (k0, k1), v in sorted(blocks.items())]
+
+
+def _gather_global_rows(arr) -> np.ndarray:
+    """Assemble the FULL dim-0 extent of a cross-process-sharded array on
+    every host (allgather of (row-index, block) pairs; scatter-by-index
+    dedups replicas).  Only for small operands — RL sample ids/captions,
+    a few hundred KB."""
+    from jax.experimental import multihost_utils
+    blocks = _local_row_blocks(arr)
+    local_rows = np.concatenate([blk for _, blk in blocks], axis=0)
+    local_idx = np.concatenate(
+        [np.arange(r.start, r.stop) for r, _ in blocks])
+    all_rows = multihost_utils.process_allgather(local_rows, tiled=True)
+    all_idx = multihost_utils.process_allgather(local_idx, tiled=True)
+    out = np.zeros((arr.shape[0],) + arr.shape[1:], local_rows.dtype)
+    out[all_idx] = all_rows
+    return out
+
+
 class RLTrainer(Trainer):
     """Self-critical trainer (``SelfCriticNetwork`` equivalent,
-    core/models.py:138-211)."""
+    core/models.py:138-211).
+
+    ``two_phase`` selects the sample->score->update split explicitly;
+    ``None`` (default) picks it automatically: required on runtimes
+    without host callbacks (the tunneled axon TPU runtime) and on
+    multi-process (pod) runs — there each host scores only the sample
+    rows its own devices hold (see :meth:`_host_rewards`), which keeps
+    per-host reward scoring constant as the pod grows."""
 
     def __init__(self, cfg: Config, word_to_idx: Dict[str, int], *,
-                 mesh=None, rng: Optional[jax.Array] = None):
+                 mesh=None, rng: Optional[jax.Array] = None,
+                 two_phase: Optional[bool] = None):
         from ..rl.loss import make_reward_callback
         from ..rl.rewards import RewardComputer
         from ..rl.step import (backend_supports_callbacks,
@@ -176,8 +217,14 @@ class RLTrainer(Trainer):
 
         # single-program mode needs runtime host-callback support; the
         # tunneled axon_pjrt runtime lacks it -> two-phase mode (sample on
-        # device, score on host, update with rewards as inputs)
-        self._two_phase = not backend_supports_callbacks()
+        # device, score on host, update with rewards as inputs).  Pods
+        # always run two-phase: pure_callback semantics over
+        # cross-process-sharded operands are not what the reward scorer
+        # wants, and per-host scoring of local rows scales.
+        if two_phase is None:
+            two_phase = (jax.process_count() > 1
+                         or not backend_supports_callbacks())
+        self._two_phase = two_phase
         if self._two_phase:
             self._sample_step = compile_rl_sample_step(cfg, self.mesh,
                                                        self.state)
@@ -195,15 +242,47 @@ class RLTrainer(Trainer):
                                                    self.state, callback)
 
     def _host_rewards(self, sample_seq, captions):
-        import numpy as np
-        seq = np.asarray(sample_seq)          # [B, N, T]
-        b, n, t = seq.shape
-        flat = seq.reshape(b * n, t)
-        target = np.repeat(np.asarray(captions)[:, 1:], n, axis=0)
-        rewards = self.reward_computer.structure_scores(flat, target)
-        self_cider = self.reward_computer.self_cider_scores(flat)
-        return (np.asarray(rewards).reshape(b, n),
-                np.asarray(self_cider).reshape(b, n))
+        """Score sampled sequences on the host -> ([B,N] rewards,
+        [B,N] self-CIDEr).
+
+        Multi-process: ``sample_seq``/``captions`` are global arrays whose
+        shards span hosts — ``np.asarray`` on them would raise.  With a
+        frozen CIDEr df (the production RL config, loss.py:112-116 /
+        coco-val-df.p) rewards are row-independent, so each host scores
+        ONLY the row blocks its devices address and fills them into a
+        global-shaped array; rows owned by other hosts stay zero and are
+        never read, because ``shard()``'s ``make_array_from_callback`` path
+        asks each host exclusively for its own device indices.  In
+        corpus-df fallback mode CIDEr's idf and ``log_ref_len`` come from
+        the scored set itself, so per-host subsets would change every
+        score — there all hosts allgather the rows and score the identical
+        global corpus instead."""
+        b, n, t = sample_seq.shape
+        if jax.process_count() == 1:
+            seq_blocks = [(slice(0, b), np.asarray(sample_seq))]
+            caps_blocks = {(0, b): np.asarray(captions)}
+        elif not self.reward_computer.uses_frozen_df:
+            seq_blocks = [(slice(0, b), _gather_global_rows(sample_seq))]
+            caps_blocks = {(0, b): _gather_global_rows(captions)}
+        else:
+            seq_blocks = _local_row_blocks(sample_seq)
+            caps_blocks = {(r.start, r.stop): blk
+                           for r, blk in _local_row_blocks(captions)}
+        rewards = np.zeros((b, n), np.float32)
+        self_cider = np.zeros((b, n), np.float32)
+        for r, seq_blk in seq_blocks:
+            caps_blk = caps_blocks.get((r.start, r.stop))
+            assert caps_blk is not None, (
+                f"caption shards {sorted(caps_blocks)} do not align with "
+                f"sample rows {(r.start, r.stop)} — captions and samples "
+                "must share the data sharding")
+            flat = seq_blk.reshape(-1, t)
+            target = np.repeat(caps_blk[:, 1:], n, axis=0)
+            rw = self.reward_computer.structure_scores(flat, target)
+            sc = self.reward_computer.self_cider_scores(flat)
+            rewards[r] = np.asarray(rw).reshape(-1, n)
+            self_cider[r] = np.asarray(sc).reshape(-1, n)
+        return rewards, self_cider
 
     def train_step_device(self, batch):
         if not self._two_phase:

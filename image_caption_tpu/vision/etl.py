@@ -255,8 +255,11 @@ def extract_split_features_resumable(image_paths: Sequence[str], *,
     split.  Every ``shard_images`` images are extracted and written
     atomically to ``{out_dir}/shards/{split}.{k:05d}.npz``, and a manifest
     records completed shards; a re-run with ``resume=True`` skips them.
-    The manifest is invalidated when the image count or shard size
-    changes.  Returns the assembled (features, positions) arrays; shard
+    The manifest is invalidated when the image count, shard size, or any
+    extraction-config kwarg changes — crop- and roi-mode features have
+    identical shapes but are NOT interchangeable (docs/parity.md), so a
+    resume after a config switch must re-extract rather than silently mix
+    semantics.  Returns the assembled (features, positions) arrays; shard
     files are left for the caller to clean after the final artifacts are
     safely written (:func:`run_etl` does)."""
     extract = extract_fn or extract_split_features
@@ -264,17 +267,27 @@ def extract_split_features_resumable(image_paths: Sequence[str], *,
     os.makedirs(shard_dir, exist_ok=True)
     manifest_path = os.path.join(shard_dir, f"{split}.manifest.json")
 
+    # semantic fingerprint: every plain-value kwarg changes the features
+    # (feature_mode, max_obj, rect_letterbox, roi sizes, image_model, ...);
+    # params/mesh/batch_size don't (batch size is result-invariant --
+    # tests pin batch-vs-single equality)
+    config_fp = {k: v for k, v in sorted(kwargs.items())
+                 if k not in ("extractor_params", "mesh", "batch_size")
+                 and isinstance(v, (int, float, str, bool, type(None)))}
+
     n = len(image_paths)
     done: set = set()
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             old = json.load(f)
         if old.get("num_images") == n and \
-                old.get("shard_images") == shard_images:
+                old.get("shard_images") == shard_images and \
+                old.get("config") == config_fp:
             done = set(old.get("done", []))
         elif verbose:
             print(f"[etl] {split}: shard manifest stale "
-                  f"(images {old.get('num_images')}->{n} or shard size "
+                  f"(images {old.get('num_images')}->{n}, shard size, or "
+                  f"extraction config {old.get('config')}->{config_fp} "
                   f"changed) — re-extracting")
 
     def shard_path(k):
@@ -294,7 +307,7 @@ def extract_split_features_resumable(image_paths: Sequence[str], *,
         mtmp = manifest_path + ".tmp"
         with open(mtmp, "w") as f:
             json.dump({"num_images": n, "shard_images": shard_images,
-                       "done": sorted(done)}, f)
+                       "config": config_fp, "done": sorted(done)}, f)
         os.replace(mtmp, manifest_path)
         if verbose:
             print(f"[etl] {split}: shard {k + 1}/{len(starts)} "
@@ -335,6 +348,20 @@ def run_etl(cfg: Config, *, coco_root: str,
     ``{coco_root}/annotations/captions_{train,val}2017.json`` and
     ``{coco_root}/image/{train,val}2017/``."""
     d = cfg.data
+    from .pipeline import validate_feature_mode
+    validate_feature_mode(d.feature_mode, d.image_model)
+
+    import jax
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # the ETL is single-host work (per-host disk IO + pickle/hkl
+        # writes to shared artifact paths); on a pod every process would
+        # otherwise extract the full split AND race the same .tmp shard
+        # files on a shared filesystem.  Process 0 does the work; the
+        # others exit and the launcher re-runs training once artifacts
+        # exist.
+        print(f"[etl] process {jax.process_index()}: features ETL runs "
+              "on process 0 only — idling")
+        return
     max_len = d.max_caption_words
 
     ann_cache = os.path.join(d.data_path, "annotations")
@@ -393,17 +420,17 @@ def run_etl(cfg: Config, *, coco_root: str,
             word_index = build_vocab(
                 [r["caption"] for r in records],
                 threshold=d.word_count_threshold)
-            save_pickle(word_index, os.path.join(out_dir, "word_index.pkl"))
+            save_pickle(word_index, d.word_to_idx_path)
         elif word_index is None:
             # valid/test re-runs against an existing train pass: load the
             # vocab it wrote instead of demanding train in `splits` (a
             # crash after the days-scale train extraction must not force
             # re-running it to rebuild valid/test)
-            wpath = os.path.join(d.data_path, "train", "word_index.pkl")
-            assert os.path.exists(wpath), (
-                f"no vocab at {wpath}; run the train split first")
+            assert os.path.exists(d.word_to_idx_path), (
+                f"no vocab at {d.word_to_idx_path}; run the train split "
+                "first")
             from ..utils.io import load_pickle
-            word_index = load_pickle(wpath)
+            word_index = load_pickle(d.word_to_idx_path)
 
         captions = build_caption_vector(
             [r["caption"] for r in records], word_index,
@@ -431,7 +458,6 @@ def run_etl(cfg: Config, *, coco_root: str,
             print("[etl] valid: coco-val-df.p written")
         print(f"[etl] {split}: caption artifacts written")
 
-        import jax
         mesh = None
         # multi-process (pod) runs fall back to the single-device path:
         # the sharded path device_puts host arrays and gathers globally

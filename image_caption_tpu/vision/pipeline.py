@@ -362,6 +362,24 @@ def replicate_extractor_params(mesh, params):
     return out
 
 
+FEATURE_MODES = ("crop", "roi")
+
+
+def validate_feature_mode(mode: str, image_model: str = "YOLOv5") -> None:
+    """Fail fast on unknown/unsupported feature modes — ``== "roi"``
+    comparisons downstream would otherwise silently fall back to the
+    per-crop path (e.g. a ``--set data.feature_mode=ROI`` typo)."""
+    if mode not in FEATURE_MODES:
+        raise ValueError(
+            f"unknown feature_mode {mode!r}; expected one of "
+            f"{FEATURE_MODES}")
+    if mode == "roi" and image_model == "FasterRCNN":
+        raise ValueError(
+            "feature_mode='roi' is only implemented for the YOLOv5 "
+            "pipeline; the FasterRCNN path already pools trunk features "
+            "via its own ROI heads (vision/frcnn.py)")
+
+
 def extract_features_sharded(mesh, params: ExtractorParams,
                              canvases: jnp.ndarray,
                              metas: jnp.ndarray,
@@ -376,6 +394,7 @@ def extract_features_sharded(mesh, params: ExtractorParams,
     keyword options as :func:`extract_features_batch` /
     :func:`extract_features_roi` (selected by ``feature_mode``)."""
     from ..parallel import mesh as pmesh
+    validate_feature_mode(feature_mode)
     b = canvases.shape[0]
     ndata = mesh.shape[pmesh.DATA_AXIS]
     if b % ndata:

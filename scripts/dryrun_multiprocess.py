@@ -43,22 +43,8 @@ def _force_cpu(n_devices: int) -> None:
     jax.config.update("jax_platforms", "cpu")
 
 
-def _run_step():
-    """Deterministic tiny XE step on the full (data x model) mesh."""
-    import jax
+def _tiny_batch(cfg):
     import numpy as np
-
-    from image_caption_tpu.config import get_preset
-    from image_caption_tpu.parallel import mesh as pmesh
-    from image_caption_tpu.train.loop import Trainer
-
-    cfg = get_preset("maxlen49_64").with_overrides(**{
-        "model.num_vocab": 40, "model.max_length": 13,
-        "model.num_objects": 6, "train.seed": 0})
-    n = len(jax.devices())
-    mesh = pmesh.make_mesh(data=n // 2, model=2)
-    trainer = Trainer(cfg, mesh=mesh, rng=jax.random.PRNGKey(0))
-
     rng = np.random.RandomState(0)
     b, m = 16, cfg.model
     feats = rng.randn(b, m.num_slots, m.dim_features).astype(np.float32)
@@ -66,35 +52,85 @@ def _run_step():
     caps = rng.randint(3, m.num_vocab, size=(b, m.max_length)
                        ).astype(np.int32)
     caps[:, 0] = 1
-    metrics = trainer.train_step(feats, poss, caps)
+    return feats, poss, caps
+
+
+def _frozen_df_path() -> str:
+    """Write a tiny deterministic frozen-CIDEr-df pickle (idempotent) so
+    an ``rlfrozen`` run takes the per-host local-scoring path."""
+    import math
+    import pickle
+    path = "/tmp/icx_dryrun_frozen_df.p"
+    blob = {"document_frequency": {("a",): 3.0, ("a", "a"): 2.0},
+            "ref_len": math.log(64.0)}
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
+    return path
+
+
+def _run_step(kind: str = "xe"):
+    """Deterministic tiny train step on the full (data x model) mesh.
+
+    ``kind='rl'`` runs the two-phase SCST step with the corpus-df
+    fallback — hosts must allgather and score the identical global batch
+    (train/loop.py:_host_rewards), so the loss must match the
+    single-process run bit-for-bit.  ``kind='rlfrozen'`` pins a frozen df
+    via ICX_CIDER_DF first, exercising the scalable path where each host
+    scores only its own sample rows."""
+    if kind == "rlfrozen":
+        os.environ["ICX_CIDER_DF"] = _frozen_df_path()
+    import jax
+
+    from image_caption_tpu.config import get_preset
+    from image_caption_tpu.parallel import mesh as pmesh
+    from image_caption_tpu.train.loop import RLTrainer, Trainer
+
+    cfg = get_preset("maxlen49_64").with_overrides(**{
+        "model.num_vocab": 40, "model.max_length": 13,
+        "model.num_objects": 6, "train.seed": 0})
+    n = len(jax.devices())
+    mesh = pmesh.make_mesh(data=n // 2, model=2)
+    if kind in ("rl", "rlfrozen"):
+        vocab = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+        vocab.update({f"w{i}": i for i in range(4, cfg.model.num_vocab)})
+        trainer = RLTrainer(cfg, vocab, mesh=mesh,
+                            rng=jax.random.PRNGKey(0), two_phase=True)
+    else:
+        trainer = Trainer(cfg, mesh=mesh, rng=jax.random.PRNGKey(0))
+
+    metrics = trainer.train_step(*_tiny_batch(cfg))
     return float(metrics["loss"])
 
 
-def worker(coord: str, nprocs: int, pid: int, devs: int) -> None:
+def worker(coord: str, nprocs: int, pid: int, devs: int,
+           kind: str = "xe") -> None:
     _force_cpu(devs)
     import jax
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=nprocs, process_id=pid)
     assert jax.process_count() == nprocs
     assert len(jax.devices()) == nprocs * devs
-    loss = _run_step()
+    loss = _run_step(kind)
     if pid == 0:
         print(f"loss={loss:.6f}", flush=True)
 
 
-def driver(nprocs: int = 2, devs: int = 4) -> int:
+def driver(nprocs: int = 2, devs: int = 4, kind: str = "xe") -> int:
     # single-process baseline on the same total device count
     base = subprocess.run(
         [sys.executable, __file__, "worker", "none", "1", "0",
-         str(nprocs * devs)],
+         str(nprocs * devs), kind],
         capture_output=True, text=True, timeout=600)
     assert base.returncode == 0, base.stderr[-2000:]
     base_loss = float(base.stdout.strip().split("loss=")[1])
 
-    coord = "localhost:12989"
+    coord = {"xe": "localhost:12989", "rl": "localhost:12990",
+             "rlfrozen": "localhost:12992"}[kind]
     procs = [subprocess.Popen(
         [sys.executable, __file__, "worker", coord, str(nprocs), str(i),
-         str(devs)], stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+         str(devs), kind], stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for i in range(nprocs)]
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
@@ -102,7 +138,8 @@ def driver(nprocs: int = 2, devs: int = 4) -> int:
     multi_loss = float(outs[0][0].strip().split("loss=")[1])
 
     ok = abs(multi_loss - base_loss) < 1e-5
-    print(f"single={base_loss:.6f} multi({nprocs}x{devs})={multi_loss:.6f}"
+    print(f"{kind} single={base_loss:.6f} "
+          f"multi({nprocs}x{devs})={multi_loss:.6f}"
           f" {'OK' if ok else 'MISMATCH'}")
     return 0 if ok else 1
 
@@ -168,12 +205,17 @@ if __name__ == "__main__":
         sys.exit(driver_cli(nprocs, devs))
     elif len(sys.argv) > 1 and sys.argv[1] == "worker":
         coord, nprocs, pid, devs = sys.argv[2:6]
+        kind = sys.argv[6] if len(sys.argv) > 6 else "xe"
         if int(nprocs) == 1:
             _force_cpu(int(devs))
-            loss = _run_step()
+            loss = _run_step(kind)
             print(f"loss={loss:.6f}", flush=True)
         else:
-            worker(coord, int(nprocs), int(pid), int(devs))
+            worker(coord, int(nprocs), int(pid), int(devs), kind)
+    elif len(sys.argv) > 1 and sys.argv[1] in ("rl", "rlfrozen"):
+        nprocs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        devs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        sys.exit(driver(nprocs, devs, kind=sys.argv[1]))
     else:
         nprocs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
         devs = int(sys.argv[2]) if len(sys.argv) > 2 else 4

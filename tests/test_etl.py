@@ -196,6 +196,46 @@ def test_resumable_manifest_invalidated_on_shape_change(tmp_path):
     np.testing.assert_array_equal(feats[:, 0, 0], np.arange(9))
 
 
+def test_resumable_manifest_invalidated_on_config_change(tmp_path):
+    """Same images + shard size but a different extraction config must
+    re-extract: crop- and roi-mode features have identical [B, S, 2048]
+    shapes but are not interchangeable (docs/parity.md) — a resume after
+    a config switch must not silently mix semantics across shards."""
+    from image_caption_tpu.vision.etl import extract_split_features_resumable
+
+    out = str(tmp_path)
+    paths = [f"img_{i}" for i in range(6)]
+    first = _fake_extractor()
+    extract_split_features_resumable(
+        paths, out_dir=out, split="valid", shard_images=3,
+        extract_fn=first, verbose=False, feature_mode="crop", max_obj=5)
+    assert first.calls["n"] == 2
+
+    second = _fake_extractor()
+    extract_split_features_resumable(
+        paths, out_dir=out, split="valid", shard_images=3,
+        extract_fn=second, verbose=False, feature_mode="roi", max_obj=5)
+    assert second.calls["n"] == 2          # full re-extract
+
+    third = _fake_extractor()
+    extract_split_features_resumable(
+        paths, out_dir=out, split="valid", shard_images=3,
+        extract_fn=third, verbose=False, feature_mode="roi", max_obj=5)
+    assert third.calls["n"] == 0           # unchanged config resumes
+
+
+def test_feature_mode_validated():
+    from image_caption_tpu.vision.pipeline import validate_feature_mode
+
+    validate_feature_mode("crop")
+    validate_feature_mode("roi")
+    validate_feature_mode("crop", "FasterRCNN")
+    with pytest.raises(ValueError, match="unknown feature_mode"):
+        validate_feature_mode("ROI")       # silent-crop-fallback typo
+    with pytest.raises(ValueError, match="only implemented for the YOLO"):
+        validate_feature_mode("roi", "FasterRCNN")
+
+
 def test_run_etl_valid_only_against_existing_train_artifacts(
         tmp_path, monkeypatch):
     """run_etl(splits=["valid"]) must reuse the train pass's vocab and

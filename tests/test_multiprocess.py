@@ -26,6 +26,21 @@ def test_two_process_loss_matches_single_process():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("kind", ["rl", "rlfrozen"])
+def test_two_process_rl_loss_matches_single_process(kind):
+    """Two-phase SCST on a 2-process mesh must match the single-process
+    composite loss in both reward-scoring regimes (loop.py:_host_rewards):
+    'rl' = corpus-df fallback, where CIDEr idf depends on the scored set,
+    so hosts allgather and score the identical global batch; 'rlfrozen' =
+    frozen df (the production config), where each host scores only the
+    sample rows its own devices hold."""
+    r = subprocess.run([sys.executable, SCRIPT, kind, "2", "4"],
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "OK" in r.stdout
+
+
+@pytest.mark.slow
 def test_two_process_cli_train(tmp_path):
     """Pod launch path through the real CLI (VERDICT r2 weak #4): two
     ``main.py train --distributed`` processes complete one epoch on a
