@@ -36,7 +36,7 @@ def initialize(coordinator_address: Optional[str] = None,
     pod.
     """
     global _initialized
-    if _initialized:
+    if is_initialized():
         return
     import jax
     jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -46,4 +46,15 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def is_initialized() -> bool:
-    return _initialized
+    """True when the distributed runtime is connected — via this wrapper
+    OR directly through ``jax.distributed.initialize`` (e.g. an embedding
+    launcher); ``initialize()`` must no-op in both cases.  Inspecting
+    ``jax.distributed``'s client state does NOT initialize the XLA
+    backend, so the ordering contract above is preserved."""
+    if _initialized:
+        return True
+    try:
+        from jax._src import distributed as _jax_distributed
+        return _jax_distributed.global_state.client is not None
+    except Exception:
+        return False

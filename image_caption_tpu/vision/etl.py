@@ -16,6 +16,7 @@ val2017 is split 50/50 into valid/test (features.py:40-47).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor
@@ -240,6 +241,27 @@ def extract_split_features(image_paths: Sequence[str], *,
     return all_feats, all_pos
 
 
+def _params_digest(params) -> Optional[str]:
+    """Cheap content fingerprint of an extractor param pytree: leaf count
+    + shapes + the first values of ~16 sampled leaves.  Distinguishes
+    random-init smoke weights from real checkpoints (and one checkpoint
+    from another) without hashing hundreds of MB; device arrays fetch
+    only 64 elements per sampled leaf."""
+    if params is None:
+        return None
+    import jax
+    leaves = jax.tree_util.tree_leaves(params)
+    h = hashlib.sha1()
+    h.update(str(len(leaves)).encode())
+    stride = max(1, len(leaves) // 16)
+    for leaf in leaves[::stride][:16]:
+        arr = np.asarray(jax.device_get(leaf))
+        h.update(str((arr.shape, str(arr.dtype))).encode())
+        h.update(np.ascontiguousarray(
+            arr.ravel()[:64].astype(np.float32)).tobytes())
+    return h.hexdigest()
+
+
 def extract_split_features_resumable(image_paths: Sequence[str], *,
                                      out_dir: str, split: str,
                                      shard_images: int = 4096,
@@ -268,12 +290,21 @@ def extract_split_features_resumable(image_paths: Sequence[str], *,
     manifest_path = os.path.join(shard_dir, f"{split}.manifest.json")
 
     # semantic fingerprint: every plain-value kwarg changes the features
-    # (feature_mode, max_obj, rect_letterbox, roi sizes, image_model, ...);
-    # params/mesh/batch_size don't (batch size is result-invariant --
-    # tests pin batch-vs-single equality)
+    # (feature_mode, max_obj, rect_letterbox, roi sizes, image_model, ...)
+    # plus the extractor WEIGHTS (a crash in random-init smoke mode
+    # resumed after installing real checkpoints must re-extract, not mix
+    # garbage shards with real ones) and the image-path LIST (same count,
+    # different images would silently misalign rows); mesh/batch_size
+    # don't (batch size is result-invariant -- tests pin batch-vs-single
+    # equality)
     config_fp = {k: v for k, v in sorted(kwargs.items())
                  if k not in ("extractor_params", "mesh", "batch_size")
                  and isinstance(v, (int, float, str, bool, type(None)))}
+    config_fp["image_paths_sha1"] = hashlib.sha1(
+        "\x00".join(map(str, image_paths)).encode()).hexdigest()
+    params_fp = _params_digest(kwargs.get("extractor_params"))
+    if params_fp is not None:
+        config_fp["extractor_params_sha1"] = params_fp
 
     n = len(image_paths)
     done: set = set()
@@ -352,16 +383,22 @@ def run_etl(cfg: Config, *, coco_root: str,
     validate_feature_mode(d.feature_mode, d.image_model)
 
     import jax
-    if jax.process_count() > 1 and jax.process_index() != 0:
+    if jax.process_count() > 1:
         # the ETL is single-host work (per-host disk IO + pickle/hkl
-        # writes to shared artifact paths); on a pod every process would
-        # otherwise extract the full split AND race the same .tmp shard
-        # files on a shared filesystem.  Process 0 does the work; the
-        # others exit and the launcher re-runs training once artifacts
-        # exist.
-        print(f"[etl] process {jax.process_index()}: features ETL runs "
-              "on process 0 only — idling")
-        return
+        # writes to shared artifact paths): on a pod every process would
+        # extract the full split AND race the same .tmp shard files on a
+        # shared filesystem.  Having only process 0 work is no better —
+        # the idle processes' exit (or their jax.distributed shutdown
+        # barrier) tears the coordination service down under process 0
+        # mid-way through a days-scale job.  Refuse loudly on EVERY
+        # process instead: run `features` as a single-process job (it
+        # still shards over all locally-visible chips), then launch the
+        # distributed training run against the artifacts.
+        raise RuntimeError(
+            "the features ETL is single-host work — run it as a "
+            "single-process job (no --distributed / multi-process "
+            "launcher), then start the pod training run against the "
+            "written artifacts")
     max_len = d.max_caption_words
 
     ann_cache = os.path.join(d.data_path, "annotations")
@@ -457,6 +494,28 @@ def run_etl(cfg: Config, *, coco_root: str,
                                os.path.join(d.data_path, "coco-val-df.p"))
             print("[etl] valid: coco-val-df.p written")
         print(f"[etl] {split}: caption artifacts written")
+
+        feats_path = os.path.join(out_dir, f"{split}.features.hkl")
+        pos_path = os.path.join(out_dir, f"{split}.positions.hkl")
+        if os.path.exists(feats_path) and os.path.exists(pos_path):
+            # a completed split's final artifacts survive a later crash
+            # (e.g. train finished, the job died during valid): skip its
+            # extraction instead of redoing the days-scale work — its
+            # shard manifest is already cleaned, so the resumable layer
+            # alone can't save us here.  Row count is sanity-checked
+            # against the (re)built caption artifacts; delete the .hkl
+            # files to force re-extraction.
+            from ..utils.io import open_hkl
+            ds = open_hkl(feats_path)
+            rows, shape = ds.shape[0], ds.shape
+            ds.close()
+            if rows == len(file_names):
+                print(f"[etl] {split}: features {shape} already on disk "
+                      "— skipping extraction (delete the .hkl files to "
+                      "force)")
+                continue
+            print(f"[etl] {split}: stale features on disk ({rows} rows "
+                  f"vs {len(file_names)} images) — re-extracting")
 
         mesh = None
         # multi-process (pod) runs fall back to the single-device path:

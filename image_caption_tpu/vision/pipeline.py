@@ -308,7 +308,15 @@ def extract_features_roi(params: ExtractorParams,
 
     def resized(size):
         if size == canvas_size:
-            return canvases.astype(compute_dtype)
+            # pass the f32 canvas through unchanged: at full resolution
+            # the detector input must be BIT-identical to the per-crop
+            # mode's (which divides by 255 in f32 before the backbone
+            # casts) — a bf16 /255 here could flip NMS score ties and
+            # break the "detection/selection identical to crop mode"
+            # contract (docs/parity.md).  Resized views have no crop-mode
+            # twin; their compute_dtype resize is part of the documented
+            # fidelity trade.
+            return canvases
         return jax.image.resize(canvases.astype(compute_dtype),
                                 (b, size, size, 3), method="bilinear")
 
@@ -339,8 +347,10 @@ def extract_features_roi(params: ExtractorParams,
                              max_obj=max_obj, num_classes=num_classes)
 
 
-# one (source params, mesh) -> replicated params entry; the strong ref to
-# the source pytree keeps its id() from being recycled while cached
+# one (source params, mesh) -> replicated params entry; strong refs to
+# BOTH key objects keep their id()s from being recycled while cached (a
+# GC'd mesh whose address is reused must not produce a stale hit placed
+# on the dead mesh's devices)
 _REPLICATED: Dict = {}
 
 
@@ -354,11 +364,11 @@ def replicate_extractor_params(mesh, params):
     key = (id(params), id(mesh))
     hit = _REPLICATED.get(key)
     if hit is not None:
-        return hit[1]
+        return hit[2]
     repl = pmesh.replicated(mesh)
     out = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
     _REPLICATED.clear()                  # hold at most one replicated copy
-    _REPLICATED[key] = (params, out)
+    _REPLICATED[key] = (params, mesh, out)
     return out
 
 

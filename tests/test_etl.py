@@ -281,3 +281,107 @@ def test_run_etl_valid_only_against_existing_train_artifacts(
     # vectorized with the TRAIN vocab loaded from disk
     assert caps[0][1] == vocab["a"]
     assert os.path.exists(os.path.join(data_path, "coco-val-df.p"))
+
+
+def test_resumable_manifest_invalidated_on_weights_or_paths_change(
+        tmp_path):
+    """The manifest fingerprints the extractor WEIGHTS and the image-path
+    list: a crash in random-init smoke mode resumed after installing real
+    checkpoints must re-extract (not splice garbage shards onto real
+    ones), and a changed path list with the same count must not reuse
+    misaligned rows."""
+    from image_caption_tpu.vision.etl import extract_split_features_resumable
+
+    out = str(tmp_path)
+    paths = [f"img_{i}" for i in range(6)]
+    smoke = {"w": np.zeros((4, 4), np.float32)}
+    real = {"w": np.ones((4, 4), np.float32)}
+
+    first = _fake_extractor()
+    extract_split_features_resumable(
+        paths, out_dir=out, split="valid", shard_images=3,
+        extract_fn=first, verbose=False, extractor_params=smoke)
+    assert first.calls["n"] == 2
+
+    second = _fake_extractor()
+    extract_split_features_resumable(
+        paths, out_dir=out, split="valid", shard_images=3,
+        extract_fn=second, verbose=False, extractor_params=real)
+    assert second.calls["n"] == 2          # weights changed: re-extract
+
+    third = _fake_extractor()
+    extract_split_features_resumable(
+        paths, out_dir=out, split="valid", shard_images=3,
+        extract_fn=third, verbose=False, extractor_params=real)
+    assert third.calls["n"] == 0           # same weights: resume
+
+    fourth = _fake_extractor()
+    extract_split_features_resumable(
+        [f"other_{i}" for i in range(6)], out_dir=out, split="valid",
+        shard_images=3, extract_fn=fourth, verbose=False,
+        extractor_params=real)
+    assert fourth.calls["n"] == 2          # same count, new paths
+
+
+def test_run_etl_refuses_multiprocess(monkeypatch):
+    """Pod launches must fail fast on EVERY process: a process-0-only ETL
+    leaves the other processes exiting through the jax.distributed
+    shutdown barrier that process 0 (days of extraction ahead) never
+    reaches, which tears the coordination service down under it."""
+    import jax
+
+    import image_caption_tpu.vision.etl as etl_mod
+    from image_caption_tpu.config import get_preset
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(RuntimeError, match="single-process"):
+        etl_mod.run_etl(get_preset("maxlen49_64"), coco_root="/nowhere")
+
+
+def test_run_etl_skips_completed_split(tmp_path, monkeypatch):
+    """A split whose final .hkl artifacts already exist (row count
+    matching its caption artifacts) must not re-extract — its shard
+    manifest was cleaned on completion, so this is the only thing saving
+    a finished days-scale train split when the job later crashes during
+    valid.  Mismatched row counts DO re-extract."""
+    import image_caption_tpu.vision.etl as etl_mod
+    from image_caption_tpu.config import get_preset
+    from image_caption_tpu.utils.io import save_hkl, save_pickle
+    from image_caption_tpu.data.vocab import build_vocab
+
+    data_path = str(tmp_path / "data")
+    cfg = get_preset("maxlen49_64").with_overrides(**{
+        "data.data_path": data_path})
+    ann = os.path.join(data_path, "annotations")
+    os.makedirs(ann, exist_ok=True)
+    save_pickle([{"caption": "a dog runs", "image_id": 1,
+                  "file_name": "img_0"}],
+                os.path.join(ann, "train.annotations.pkl"))
+    save_pickle([{"caption": "a cat sits", "image_id": 2,
+                  "file_name": "img_1"}],
+                os.path.join(ann, "valid.annotations.pkl"))
+    save_pickle([{"caption": "a bird flies", "image_id": 3,
+                  "file_name": "img_2"}],
+                os.path.join(ann, "test.annotations.pkl"))
+    os.makedirs(os.path.join(data_path, "train"), exist_ok=True)
+    save_pickle(build_vocab(["a cat sits"], threshold=1),
+                os.path.join(data_path, "train", "word_index.pkl"))
+
+    fake = _fake_extractor()
+    monkeypatch.setattr(etl_mod, "extract_split_features_resumable", fake)
+    import image_caption_tpu.vision.pipeline as pipe_mod
+    monkeypatch.setattr(pipe_mod, "load_extractor", lambda w: None)
+
+    etl_mod.run_etl(cfg, coco_root="/nowhere", splits=["valid"])
+    assert fake.calls["n"] == 1
+    assert os.path.exists(
+        os.path.join(data_path, "valid", "valid.features.hkl"))
+
+    etl_mod.run_etl(cfg, coco_root="/nowhere", splits=["valid"])
+    assert fake.calls["n"] == 1            # second run: skipped
+
+    # stale artifacts (wrong row count) are re-extracted
+    save_hkl(np.zeros((3, 2, 8), np.float32),
+             os.path.join(data_path, "valid", "valid.features.hkl"))
+    etl_mod.run_etl(cfg, coco_root="/nowhere", splits=["valid"])
+    assert fake.calls["n"] == 2

@@ -49,3 +49,29 @@ def test_two_process_cli_train(tmp_path):
                        capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-2000:])
     assert "OK" in r.stdout
+
+
+def test_initialize_noops_when_externally_connected(monkeypatch):
+    """A process that already ran jax.distributed.initialize directly
+    (e.g. an embedding launcher or the dryrun worker) must get the
+    documented idempotent no-op from our wrapper, not a second
+    jax.distributed.initialize call (which raises RuntimeError)."""
+    import jax
+    from jax._src import distributed as jax_distributed
+
+    from image_caption_tpu.parallel import distributed as dist
+
+    monkeypatch.setattr(dist, "_initialized", False)
+    monkeypatch.setattr(jax_distributed.global_state, "client", object(),
+                        raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    dist.initialize()
+    assert calls == []                     # detected the live client
+
+    monkeypatch.setattr(jax_distributed.global_state, "client", None,
+                        raising=False)
+    dist.initialize(coordinator_address="localhost:1", num_processes=1,
+                    process_id=0)
+    assert len(calls) == 1                 # no client -> real connect

@@ -126,13 +126,18 @@ def test_sharded_extraction_rejects_indivisible_batch(tiny_extractor):
 # Shared-trunk ROI feature mode (VERDICT r2 #2)
 # ---------------------------------------------------------------------------
 
-def test_roi_mode_contract_matches_crop_mode_structure(tiny_extractor):
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_roi_mode_contract_matches_crop_mode_structure(tiny_extractor,
+                                                       dtype):
     """feature_mode='roi' produces the SAME positions/boxes/slot-validity
     as the per-crop mode (detection + selection are shared code); only the
-    feature values differ (grid-pooled trunk vs per-crop encodings)."""
+    feature values differ (grid-pooled trunk vs per-crop encodings).
+    Covers the default bfloat16 too: at full detect resolution the roi
+    path must feed the detector the identical f32 canvas the crop path
+    does (a bf16 /255 could flip NMS score ties)."""
     from image_caption_tpu.vision.pipeline import extract_features_roi
     canvases, metas, sizes = _inputs()
-    kw = dict(num_objects=8, max_obj=3, compute_dtype=jnp.float32)
+    kw = dict(num_objects=8, max_obj=3, compute_dtype=dtype)
     fc, pc, bc = extract_features_batch(
         tiny_extractor, canvases, metas, sizes, crop_size=32, **kw)
     fr, pr, br = extract_features_roi(

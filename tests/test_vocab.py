@@ -119,9 +119,12 @@ def test_tokenizer_cross_validated_vs_nltk_treebank():
     CoreNLP's PTBTokenizer (core/preprocess.py:22,261) from a separate
     lineage.  On the reference's cleaned-caption domain (clean_caption
     strips . , ' \" ( ) and maps &/-) the two must agree token-for-token,
-    except the two documented divergences pinned above: word/word slash
-    compounds (we split, like CoreNLP 4.x splitForwardSlash; NLTK joins)
-    and +/= symbols (we split; NLTK joins)."""
+    except the documented divergences pinned above: word/word slash
+    compounds (we split, like CoreNLP 4.x splitForwardSlash; NLTK joins),
+    +/= symbols (we split; NLTK joins), and a colon between a non-digit
+    and a digit like 'score:30' (NLTK's rule only splits ':' before
+    non-digits, so it joins; PTBLexer's time/number patterns need
+    digit:digit, so we split)."""
     nltk_tok = pytest.importorskip("nltk.tokenize")
     from image_caption_tpu.data.tokenizer import (clean_caption,
                                                   tokenize_caption)
