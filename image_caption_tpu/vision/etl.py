@@ -28,7 +28,10 @@ from ..config import Config
 from ..data.tokenizer import clean_caption, tokenize_caption
 from ..data.vocab import build_caption_vector, build_vocab
 from ..utils.io import save_hkl, save_pickle
-from .ops import letterbox_params, letterbox_params_rect
+# single-image decode+letterbox lives in loader.py (PIL backend);
+# re-exported because pipeline.extract_single_image uses it
+from .loader import load_letterboxed as _load_letterboxed
+from .loader import load_letterboxed_batch
 
 
 # ---------------------------------------------------------------------------
@@ -92,33 +95,6 @@ def build_references(records: Sequence[Dict]) -> Dict[int, List[str]]:
 # Image feature extraction (host IO pool + device batches)
 # ---------------------------------------------------------------------------
 
-def _load_letterboxed(path: str, size: int = 640, rect: bool = False
-                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode + letterbox one image on host (PIL).  Returns
-    (canvas [S,S,3] uint8, meta, (h,w)); meta is [scale,top,left] for the
-    square letterbox or [scale,top,left,rect_h,rect_w] for the
-    ultralytics rectangular mode (reference LoadImages geometry,
-    detect_for_preprocess.py:55,66) — the rect content sits at the
-    canvas top-left and the pipeline masks detector cells beyond it."""
-    from PIL import Image
-    with Image.open(path) as im:
-        im = im.convert("RGB")
-        w, h = im.size
-        if rect:
-            r, nh, nw, top, left, rect_h, rect_w = letterbox_params_rect(
-                h, w, size)
-        else:
-            r, nh, nw, top, left = letterbox_params(h, w, size)
-        resized = im.resize((nw, nh), Image.BILINEAR)
-    # uint8 canvas: PIL's resize output is already uint8, so this loses
-    # nothing — and the host->device transfer is 4x smaller (the device
-    # program promotes to its compute dtype)
-    canvas = np.full((size, size, 3), 114, np.uint8)
-    canvas[top:top + nh, left:left + nw] = np.asarray(resized, np.uint8)
-    meta = (np.asarray([r, top, left, rect_h, rect_w], np.float32) if rect
-            else np.asarray([r, top, left], np.float32))
-    return canvas, meta, \
-        np.asarray([h, w], np.float32)
 
 
 def extract_split_features(image_paths: Sequence[str], *,
@@ -169,14 +145,13 @@ def extract_split_features(image_paths: Sequence[str], *,
 
     def load_batch(start):
         paths = image_paths[start:start + batch_size]
-        loaded = list(io_pool.map(
-            lambda p: _load_letterboxed(p, canvas_size,
-                                        rect=rect_letterbox and
-                                        not frcnn), paths))
-        real = len(loaded)
-        canvases = np.stack([c for c, _, _ in loaded])
-        metas = np.stack([m for _, m, _ in loaded])
-        sizes = np.stack([z for _, _, z in loaded])
+        # native C++ decode+letterbox when built (bit-identical to the
+        # PIL path — tests/test_native_loader.py), PIL thread pool
+        # otherwise
+        canvases, metas, sizes = load_letterboxed_batch(
+            paths, canvas_size, rect=rect_letterbox and not frcnn,
+            nthreads=num_workers, io_pool=io_pool)
+        real = len(paths)
         if real < batch_size:          # static-shape pad
             reps = batch_size - real
             canvases = np.concatenate(

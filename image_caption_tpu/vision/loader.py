@@ -1,0 +1,127 @@
+"""Host-side image loading: JPEG decode + letterbox to uint8 canvases.
+
+Two interchangeable backends behind one batch API:
+
+* **native** (``csrc/libimage_loader.so``): C++ decode (system libjpeg) +
+  a Pillow-bit-exact bilinear resample + letterbox, multi-threaded off
+  the GIL.  The TPU-native stand-in for the reference's host image layer
+  (cv2 in ``data/detect_for_preprocess.py:55,66``, PIL in
+  ``core/preprocess.py:48-51``): at roi-mode device rates
+  (~600-1000 img/s/chip, docs/performance.md) a Python decode pool is
+  the production-host bottleneck.  Verified BIT-IDENTICAL to the PIL
+  path in ``tests/test_native_loader.py``, so artifacts are stable
+  across backends mid-dataset.
+* **PIL** fallback: per-image, used when the library isn't built, when
+  ``ICX_NATIVE_LOADER=0``, and for any image the native decoder rejects
+  (non-JPEG, truncated, CMYK — it reports per-image ``ok`` flags).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .ops import letterbox_params, letterbox_params_rect
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                         "libimage_loader.so")
+_lib = None
+_lib_checked = False
+
+
+def _native_lib():
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    if os.environ.get("ICX_NATIVE_LOADER", "1") == "0":
+        return None
+    try:
+        lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+        lib.icx_load_letterboxed_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.icx_load_letterboxed_batch.restype = None
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _native_lib() is not None
+
+
+def load_letterboxed(path: str, size: int = 640, rect: bool = False
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode + letterbox one image on host (PIL backend).  Returns
+    (canvas [S,S,3] uint8, meta, (h,w)); meta is [scale,top,left] for the
+    square letterbox or [scale,top,left,rect_h,rect_w] for the
+    ultralytics rectangular mode (reference LoadImages geometry,
+    detect_for_preprocess.py:55,66) — the rect content sits at the
+    canvas top-left and the pipeline masks detector cells beyond it."""
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        if rect:
+            r, nh, nw, top, left, rect_h, rect_w = letterbox_params_rect(
+                h, w, size)
+        else:
+            r, nh, nw, top, left = letterbox_params(h, w, size)
+        resized = im.resize((nw, nh), Image.BILINEAR)
+    # uint8 canvas: PIL's resize output is already uint8, so this loses
+    # nothing — and the host->device transfer is 4x smaller (the device
+    # program promotes to its compute dtype)
+    canvas = np.full((size, size, 3), 114, np.uint8)
+    canvas[top:top + nh, left:left + nw] = np.asarray(resized, np.uint8)
+    meta = (np.asarray([r, top, left, rect_h, rect_w], np.float32) if rect
+            else np.asarray([r, top, left], np.float32))
+    return canvas, meta, \
+        np.asarray([h, w], np.float32)
+
+
+def load_letterboxed_batch(paths: Sequence[str], size: int = 640, *,
+                           rect: bool = False, stride: int = 32,
+                           nthreads: Optional[int] = None,
+                           io_pool=None
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch decode + letterbox -> (canvases [N,S,S,3] u8,
+    metas [N, 3|5] f32, sizes [N,2] f32).
+
+    Native backend when built (``nthreads`` C++ threads, defaults to
+    ``os.cpu_count()``); per-image PIL fallback for anything it rejects.
+    Without the native library the whole batch maps over ``io_pool``
+    (or serially) through :func:`load_letterboxed`."""
+    n = len(paths)
+    meta_dim = 5 if rect else 3
+    lib = _native_lib()
+    if lib is None or n == 0:
+        mapper = io_pool.map if io_pool is not None else map
+        loaded = list(mapper(
+            lambda p: load_letterboxed(p, size, rect=rect), paths))
+        return (np.stack([c for c, _, _ in loaded]),
+                np.stack([m for _, m, _ in loaded]),
+                np.stack([z for _, _, z in loaded]))
+
+    canvases = np.zeros((n, size, size, 3), np.uint8)
+    metas = np.zeros((n, 5), np.float32)
+    sizes = np.zeros((n, 2), np.float32)
+    ok = np.zeros((n,), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    lib.icx_load_letterboxed_batch(
+        arr, n, size, int(rect), stride,
+        nthreads or os.cpu_count() or 8,
+        canvases.ctypes.data_as(ctypes.c_void_p),
+        metas.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p),
+        ok.ctypes.data_as(ctypes.c_void_p))
+    for i in np.nonzero(ok == 0)[0]:
+        canvases[i], m, sizes[i] = load_letterboxed(paths[i], size,
+                                                    rect=rect)
+        metas[i, :m.shape[0]] = m
+    return canvases, metas[:, :meta_dim], sizes
