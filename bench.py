@@ -7,8 +7,10 @@ Metrics (all single-chip):
   * feature_extraction_throughput_etl — same pipeline in the offline-ETL
     configuration (max_obj=5: 6 crops/image, what features.py runs).
   * xe_train_steps_per_sec — flagship XE train step, batch 32 (the
-    reference's solver shape, core/config.py:59-62); regression floor 5
-    steps/s (≈ measured r1 perf / 2 — a genuine slowdown trips it).
+    reference's solver shape, core/config.py:59-62), measured through
+    the train loop's scanned multi-step dispatch (train.scan_steps=16);
+    regression floor 5 steps/s (≈ measured r1 perf / 2 — a genuine
+    slowdown trips it).
   * rl_train_steps_per_sec — flagship SCST step, batch 32 (two-phase on
     axon: device sample -> host CIDEr-D/BLEU rewards -> device update);
     floor 1 step/s.
@@ -135,24 +137,30 @@ def bench_extraction_roi(batch=128):
             "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
 
 
-def bench_xe_step(batch=32):
+def bench_xe_step(batch=32, scan_k=16):
+    """The train loop's scanned dispatch (train.scan_steps): K updates
+    per program — per-step dispatch overhead (a full ~30 ms RTT on this
+    tunnel, ~ms on a real host) amortizes over K, so this measures the
+    device step, not the transport.  Batches are pre-placed on device
+    like the real loop's prefetch; r2's single-dispatch form measured
+    ~25 steps/s on the same chip (all RTT — device time is ~10 ms)."""
     import jax
     from image_caption_tpu.train.loop import Trainer
-    cfg = _flagship().with_overrides(**{"train.batch_size": batch})
+    cfg = _flagship().with_overrides(**{"train.batch_size": batch,
+                                        "train.scan_steps": scan_k})
     trainer = Trainer(cfg, rng=jax.random.PRNGKey(0))
-    # pre-place the batch on device: the real train loop prefetches
-    # batches to device ahead of the step (data/prefetch.py), so timing
-    # the host->device upload per step would measure the tunnel, not the
-    # step (shard on an already-placed array is a no-op)
-    feats, pos, caps = trainer.shard(_fake_caption_batch(cfg.model, batch))
+    stacked = trainer.shard_stacked(
+        [_fake_caption_batch(cfg.model, batch, seed=s)
+         for s in range(scan_k)])
 
     def step():
-        return trainer.train_step(feats, pos, caps)["loss"]
+        return trainer.train_steps_device(stacked)["loss"]
 
     dt = _median_time(step, warmup=3, iters=8)
-    v = 1.0 / dt
+    v = scan_k / dt
     return {"metric": "xe_train_steps_per_sec",
-            "value": round(v, 2), "unit": "steps/sec (batch 32)",
+            "value": round(v, 2),
+            "unit": f"steps/sec (batch {batch}, {scan_k}-step scan)",
             "vs_baseline": round(v / XE_STEPS_FLOOR, 3)}
 
 

@@ -117,6 +117,14 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 100                 # main.py:69
     sample_every: int = 2500             # main.py:84
+    # XE steps fused into one scanned dispatch (update-for-update
+    # equivalent to single stepping; train/step.py
+    # compile_train_step_scan).  1 = reference cadence (log/sample fire
+    # exactly on their iterations); K>1 amortizes dispatch overhead —
+    # log/sample then fire at the first chunk boundary past each
+    # multiple.  XE only (the RL step needs host reward scoring
+    # mid-step).
+    scan_steps: int = 1
     # mesh axes sizes; -1 on data means "all remaining devices"
     data_axis: int = -1
     model_axis: int = 1

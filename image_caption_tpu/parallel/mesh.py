@@ -79,6 +79,13 @@ def batch_shardings(mesh: Mesh, num_slots: Optional[int] = None):
     return (act, act, data_sharding(mesh))
 
 
+def stacked(sh: NamedSharding) -> NamedSharding:
+    """The sharding of ``sh`` with a new leading (unsharded) dim — for
+    [K, B, ...] stacks of K per-step batches consumed by a scanned
+    multi-step program (train/step.py:compile_train_step_scan)."""
+    return NamedSharding(sh.mesh, P(None, *sh.spec))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -173,3 +180,29 @@ def shard_batch(mesh: Mesh, batch, num_slots: Optional[int] = None):
         return jax.make_array_from_callback(x.shape, spec_for(x),
                                             lambda idx: x[idx])
     return jax.tree_util.tree_map(put, batch)
+
+
+def shard_batch_stacked(mesh: Mesh, batches,
+                        num_slots: Optional[int] = None):
+    """Stack K same-shape host batches into [K, B, ...] leaves and place
+    them with the per-step sharding shifted one dim right (dim 0 is the
+    scan axis, unsharded) — the input of a K-step scanned train dispatch
+    (train/step.py:compile_train_step_scan).  One host->device transfer
+    for K steps instead of K."""
+    stack = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+    def spec_for(x):
+        if (x.ndim >= 4 and num_slots is not None
+                and x.shape[2] == num_slots):
+            return stacked(activation_sharding(mesh, num_slots))
+        return stacked(data_sharding(mesh))
+
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x), spec_for(x)), stack)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, spec_for(x),
+                                            lambda idx: x[idx])
+    return jax.tree_util.tree_map(put, stack)

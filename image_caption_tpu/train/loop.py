@@ -32,7 +32,8 @@ from ..utils.io import save_pickle
 from .checkpoint import CheckpointManager
 from .logging import TensorBoardWriter, format_sample, write_scores
 from .state import TrainState, create_train_state
-from .step import compile_eval_step, compile_train_step
+from .step import (compile_eval_step, compile_train_step,
+                   compile_train_step_scan)
 
 
 def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
@@ -70,6 +71,7 @@ class Trainer:
         self.state = create_train_state(cfg, self.init_rng)
         self._train_step = compile_train_step(cfg, self.mesh, self.state)
         self._eval_step = compile_eval_step(cfg, self.mesh, self.state)
+        self._train_step_scan = None     # compiled on first use
 
     def shard(self, batch):
         """Place a host batch onto the mesh; features/positions ([B, S, ...]
@@ -89,6 +91,24 @@ class Trainer:
         does not block on the metrics."""
         self.state, metrics = self._train_step(self.state, batch,
                                                self.step_rng)
+        return metrics
+
+    def shard_stacked(self, batches):
+        """Stack K host batches -> one [K, B, ...] device stack for
+        :meth:`train_steps_device` (single transfer for K steps)."""
+        return pmesh.shard_batch_stacked(self.mesh, batches,
+                                         num_slots=self.cfg.model.num_slots)
+
+    def train_steps_device(self, stacked_batch):
+        """K updates in one scanned dispatch (train.scan_steps); async.
+        Returns metrics stacked [K] per key — update-for-update
+        equivalent to K :meth:`train_step_device` calls."""
+        if self._train_step_scan is None:
+            self._train_step_scan = compile_train_step_scan(
+                self.cfg, self.mesh, self.state)
+        self.state, metrics = self._train_step_scan(self.state,
+                                                    stacked_batch,
+                                                    self.step_rng)
         return metrics
 
     def compute_loss(self, features, positions, captions):
@@ -372,21 +392,45 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
     from ..data.prefetch import Prefetcher
     from ..utils.debug import StepTimer
 
+    # train.scan_steps > 1 fuses K updates into one scanned dispatch
+    # (Trainer.train_steps_device) — same updates, K× fewer dispatches;
+    # the epoch remainder runs as single steps.  XE only (RLTrainer has
+    # no scanned step: rewards are scored on host mid-step).
+    scan_k = max(1, t.scan_steps) if isinstance(trainer, Trainer) \
+        and not isinstance(trainer, RLTrainer) else 1
+
+    def _chunks(it):
+        buf = []
+        for item in it:
+            buf.append(item[:3])
+            if len(buf) == scan_k:
+                yield buf
+                buf = []
+        for item in buf:               # remainder: single steps
+            yield [item]
+
+    def _prep(items):
+        if len(items) == 1:
+            return 1, trainer.shard(items[0])
+        return len(items), trainer.shard_stacked(items)
+
     global_it = 0
     for epoch in range(start_epoch, num_epochs + 1):
         t0 = time.time()
         timer = StepTimer()
         # background thread assembles + device_puts batches ahead of the
         # (async-dispatched) train step
-        prefetched = Prefetcher(
-            train_batches.epoch(epoch),
-            transform=lambda item: trainer.shard(item[:3]))
-        for batch in prefetched:
-            trainer.train_step_device(batch)
-            timer.step()
-            global_it += 1
+        prefetched = Prefetcher(_chunks(train_batches.epoch(epoch)),
+                                transform=_prep)
+        for k, batch in prefetched:
+            if k == 1:
+                trainer.train_step_device(batch)
+            else:
+                trainer.train_steps_device(batch)
+            timer.step(k)
+            prev_it, global_it = global_it, global_it + k
 
-            if global_it % t.log_every == 0:
+            if global_it // t.log_every > prev_it // t.log_every:
                 m_train = trainer.compute_loss(*fixed_train)
                 m_valid = trainer.compute_loss(*fixed_valid)
                 for key in trainer.metric_keys:
@@ -397,7 +441,7 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
                           + " ".join(f"{k}={m_train[k]:.4f}"
                                      for k in trainer.metric_keys))
 
-            if global_it % t.sample_every == 0:
+            if global_it // t.sample_every > prev_it // t.sample_every:
                 tokens, _ = greedy_decode(
                     trainer.state.params, cfg.model,
                     fixed_train[0][:1], fixed_train[1][:1])

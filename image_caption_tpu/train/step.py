@@ -88,6 +88,45 @@ def compile_train_step(cfg: Config, mesh: Mesh, state: TrainState,
     )
 
 
+def compile_train_step_scan(cfg: Config, mesh: Mesh, state: TrainState,
+                            donate: bool = True):
+    """K sequential updates in ONE compiled dispatch: ``lax.scan`` of
+    :func:`train_step` over a stacked batch ``[K, B, ...]``
+    (``parallel.mesh.shard_batch_stacked``).
+
+    Update-for-update equivalent to K single-step dispatches — the
+    per-step dropout rng is ``fold_in(rng, state.step)`` and
+    ``state.step`` increments inside the scan, so each update draws the
+    same rng it would standalone (tests/test_train_step.py pins the
+    equivalence).  The win is dispatch amortization: the per-step device
+    time of this tiny model (~10 ms) is smaller than a dispatch round
+    trip, so one program running K steps back-to-back keeps the MXU busy
+    where K dispatches idle it (docs/performance.md "Train step").  K is
+    static (baked into the stacked shape); metrics return stacked [K]
+    per key, preserving per-iteration logging.
+
+    Returns ``fn(state, stacked_batch, rng) -> (state, {k: [K]})``.
+    """
+    tx = make_optimizer(cfg.train.learning_rate)
+    state_sh = _state_shardings(mesh, state)
+    batch_sh = tuple(pmesh.stacked(s)
+                     for s in pmesh.batch_shardings(mesh,
+                                                    cfg.model.num_slots))
+    repl = NamedSharding(mesh, P())
+
+    def fn(state, stacked_batch, rng):
+        def body(st, b):
+            return train_step(st, b, rng, cfg=cfg, tx=tx)
+        return jax.lax.scan(body, state, stacked_batch)
+
+    return jax.jit(
+        fn,
+        in_shardings=(state_sh, batch_sh, repl),
+        out_shardings=(state_sh, {"loss": repl}),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def compile_eval_step(cfg: Config, mesh: Mesh, state: TrainState):
     state_sh = _state_shardings(mesh, state)
     batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)

@@ -54,13 +54,16 @@ class StepTimer:
         self._first_step_s: Optional[float] = None
         self._t_start = time.perf_counter()
 
-    def step(self) -> None:
+    def step(self, n: int = 1) -> None:
+        """Record n steps completed by one dispatch (n > 1: a scanned
+        multi-step dispatch).  The first dispatch is excluded entirely —
+        it carries the compile."""
         now = time.perf_counter()
         if self._first_step_s is None:
             self._first_step_s = now - self._t_start
             self._t0 = now
         else:
-            self._steps += 1
+            self._steps += n
 
     @property
     def compile_seconds(self) -> Optional[float]:

@@ -103,6 +103,67 @@ def test_sequence_axis_falls_back_when_indivisible(tiny_cfg):
     assert np.isfinite(loss)
 
 
+def test_scanned_steps_match_sequential(tiny_cfg, mesh8):
+    """train.scan_steps: one scanned K-step dispatch must produce the
+    same updates and per-step losses as K single-step dispatches (the
+    per-step rng is fold_in(rng, state.step) in both paths)."""
+    from image_caption_tpu.train.step import compile_train_step_scan
+
+    cfg = tiny_cfg
+    k = 4
+    batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(k)]
+    rng = jax.random.PRNGKey(1)
+
+    state_a = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = compile_train_step(cfg, mesh8, state_a, donate=False)
+    seq_losses = []
+    for b in batches:
+        state_a, m = step(state_a, pmesh.shard_batch(mesh8, b), rng)
+        seq_losses.append(float(m["loss"]))
+
+    state_b = create_train_state(cfg, jax.random.PRNGKey(0))
+    scan = compile_train_step_scan(cfg, mesh8, state_b, donate=False)
+    stacked = pmesh.shard_batch_stacked(mesh8, batches)
+    state_b, ms = scan(state_b, stacked, rng)
+
+    assert int(state_b.step) == k
+    np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses,
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        state_a.params, state_b.params)
+
+
+def test_scanned_loop_matches_single_loop(tiny_cfg):
+    """train() with scan_steps=2 over an odd batch count (remainder runs
+    singly) reaches the same final params as scan_steps=1."""
+    from image_caption_tpu.train.loop import Trainer
+
+    cfg = tiny_cfg
+    batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(5)]
+
+    def run(scan_steps):
+        tr = Trainer(cfg.with_overrides(**{"train.scan_steps": scan_steps}),
+                     rng=jax.random.PRNGKey(7))
+        i = 0
+        while i < len(batches):
+            k = min(scan_steps, len(batches) - i)
+            if k > 1:
+                tr.train_steps_device(tr.shard_stacked(batches[i:i + k]))
+            else:
+                tr.train_step_device(tr.shard(batches[i]))
+            i += k
+        return tr.state
+
+    s1, s2 = run(1), run(2)
+    assert int(s1.step) == int(s2.step) == 5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s1.params, s2.params)
+
+
 def test_rl_train_step_runs(flagship_tiny_cfg, mesh8):
     from image_caption_tpu.rl.loss import make_reward_callback
     from image_caption_tpu.rl.step import (compile_rl_eval_step,
