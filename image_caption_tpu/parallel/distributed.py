@@ -39,9 +39,17 @@ def initialize(coordinator_address: Optional[str] = None,
     if is_initialized():
         return
     import jax
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # belt-and-braces for is_initialized()'s private-API probe: if a
+        # future jax moves global_state and the probe misses an external
+        # initialization, treat the double-init error as the no-op it
+        # should have been rather than crashing the launcher
+        if "already initialized" not in str(e).lower():
+            raise
     _initialized = True
 
 
@@ -53,6 +61,9 @@ def is_initialized() -> bool:
     backend, so the ordering contract above is preserved."""
     if _initialized:
         return True
+    import jax
+    if hasattr(jax.distributed, "is_initialized"):     # public (jax>=0.4.34)
+        return bool(jax.distributed.is_initialized())
     try:
         from jax._src import distributed as _jax_distributed
         return _jax_distributed.global_state.client is not None

@@ -234,6 +234,20 @@ class RLTrainer(Trainer):
                   "df — a DIFFERENT reward scale than the reference "
                   "(loss.py:112-116).  Run the 'features' ETL or "
                   "scripts/build_cider_df.py to generate it.")
+        if jax.process_count() > 1:
+            # the df mode picks the _host_rewards path (per-host local
+            # scoring vs allgather) — a per-host filesystem difference
+            # would send hosts down divergent collective paths and
+            # deadlock the pod on the first RL step.  Fail loudly instead.
+            from jax.experimental import multihost_utils
+            flags = multihost_utils.process_allgather(
+                np.asarray([self.reward_computer.uses_frozen_df], np.int32))
+            if int(flags.min()) != int(flags.max()):
+                raise RuntimeError(
+                    f"frozen CIDEr df ({df_path}) exists on some hosts but "
+                    "not others — the reward-scoring mode must agree across "
+                    "the pod.  Distribute coco-val-df.p to every host (or "
+                    "remove it everywhere).")
 
         # single-program mode needs runtime host-callback support; the
         # tunneled axon_pjrt runtime lacks it -> two-phase mode (sample on

@@ -28,9 +28,6 @@ from ..config import Config
 from ..data.tokenizer import clean_caption, tokenize_caption
 from ..data.vocab import build_caption_vector, build_vocab
 from ..utils.io import save_hkl, save_pickle
-# single-image decode+letterbox lives in loader.py (PIL backend);
-# re-exported because pipeline.extract_single_image uses it
-from .loader import load_letterboxed as _load_letterboxed
 from .loader import load_letterboxed_batch
 
 
@@ -230,11 +227,38 @@ def _params_digest(params) -> Optional[str]:
     h.update(str(len(leaves)).encode())
     stride = max(1, len(leaves) // 16)
     for leaf in leaves[::stride][:16]:
-        arr = np.asarray(jax.device_get(leaf))
-        h.update(str((arr.shape, str(arr.dtype))).encode())
+        shape, dtype = getattr(leaf, "shape", ()), getattr(leaf, "dtype", "")
+        # slice BEFORE fetching: a multi-MB conv kernel must ship 256
+        # bytes over the (slow, tunneled) device link, not the whole array
+        head = leaf.reshape(-1)[:64] if hasattr(leaf, "reshape") else leaf
+        arr = np.asarray(jax.device_get(head))
+        h.update(str((tuple(shape), str(dtype))).encode())
         h.update(np.ascontiguousarray(
             arr.ravel()[:64].astype(np.float32)).tobytes())
     return h.hexdigest()
+
+
+def extraction_fingerprint(image_paths: Sequence[str], kwargs: Dict) -> Dict:
+    """Semantic fingerprint of one extraction run: every plain-value
+    kwarg changes the features (feature_mode, max_obj, rect_letterbox,
+    roi sizes, image_model, ...), plus the extractor WEIGHTS (a crash in
+    random-init smoke mode resumed after installing real checkpoints
+    must re-extract, not mix garbage shards with real ones) and the
+    image-path LIST (same count, different images would silently
+    misalign rows).  mesh/batch_size don't contribute (batch size is
+    result-invariant — tests pin batch-vs-single equality).  Shared by
+    the shard manifest AND the final-artifact skip check in
+    :func:`run_etl`, so a config/weights switch re-extracts even when a
+    completed ``{split}.features.hkl`` exists."""
+    fp = {k: v for k, v in sorted(kwargs.items())
+          if k not in ("extractor_params", "mesh", "batch_size")
+          and isinstance(v, (int, float, str, bool, type(None)))}
+    fp["image_paths_sha1"] = hashlib.sha1(
+        "\x00".join(map(str, image_paths)).encode()).hexdigest()
+    params_fp = _params_digest(kwargs.get("extractor_params"))
+    if params_fp is not None:
+        fp["extractor_params_sha1"] = params_fp
+    return fp
 
 
 def extract_split_features_resumable(image_paths: Sequence[str], *,
@@ -264,22 +288,7 @@ def extract_split_features_resumable(image_paths: Sequence[str], *,
     os.makedirs(shard_dir, exist_ok=True)
     manifest_path = os.path.join(shard_dir, f"{split}.manifest.json")
 
-    # semantic fingerprint: every plain-value kwarg changes the features
-    # (feature_mode, max_obj, rect_letterbox, roi sizes, image_model, ...)
-    # plus the extractor WEIGHTS (a crash in random-init smoke mode
-    # resumed after installing real checkpoints must re-extract, not mix
-    # garbage shards with real ones) and the image-path LIST (same count,
-    # different images would silently misalign rows); mesh/batch_size
-    # don't (batch size is result-invariant -- tests pin batch-vs-single
-    # equality)
-    config_fp = {k: v for k, v in sorted(kwargs.items())
-                 if k not in ("extractor_params", "mesh", "batch_size")
-                 and isinstance(v, (int, float, str, bool, type(None)))}
-    config_fp["image_paths_sha1"] = hashlib.sha1(
-        "\x00".join(map(str, image_paths)).encode()).hexdigest()
-    params_fp = _params_digest(kwargs.get("extractor_params"))
-    if params_fp is not None:
-        config_fp["extractor_params_sha1"] = params_fp
+    config_fp = extraction_fingerprint(image_paths, kwargs)
 
     n = len(image_paths)
     done: set = set()
@@ -355,7 +364,9 @@ def run_etl(cfg: Config, *, coco_root: str,
     ``{coco_root}/image/{train,val}2017/``."""
     d = cfg.data
     from .pipeline import validate_feature_mode
-    validate_feature_mode(d.feature_mode, d.image_model)
+    validate_feature_mode(d.feature_mode, d.image_model,
+                          roi_trunk_size=d.roi_trunk_size,
+                          roi_detect_size=d.roi_detect_size)
 
     import jax
     if jax.process_count() > 1:
@@ -470,28 +481,6 @@ def run_etl(cfg: Config, *, coco_root: str,
             print("[etl] valid: coco-val-df.p written")
         print(f"[etl] {split}: caption artifacts written")
 
-        feats_path = os.path.join(out_dir, f"{split}.features.hkl")
-        pos_path = os.path.join(out_dir, f"{split}.positions.hkl")
-        if os.path.exists(feats_path) and os.path.exists(pos_path):
-            # a completed split's final artifacts survive a later crash
-            # (e.g. train finished, the job died during valid): skip its
-            # extraction instead of redoing the days-scale work — its
-            # shard manifest is already cleaned, so the resumable layer
-            # alone can't save us here.  Row count is sanity-checked
-            # against the (re)built caption artifacts; delete the .hkl
-            # files to force re-extraction.
-            from ..utils.io import open_hkl
-            ds = open_hkl(feats_path)
-            rows, shape = ds.shape[0], ds.shape
-            ds.close()
-            if rows == len(file_names):
-                print(f"[etl] {split}: features {shape} already on disk "
-                      "— skipping extraction (delete the .hkl files to "
-                      "force)")
-                continue
-            print(f"[etl] {split}: stale features on disk ({rows} rows "
-                  f"vs {len(file_names)} images) — re-extracting")
-
         mesh = None
         # multi-process (pod) runs fall back to the single-device path:
         # the sharded path device_puts host arrays and gathers globally
@@ -503,8 +492,7 @@ def run_etl(cfg: Config, *, coco_root: str,
             mesh = pmesh.make_mesh()        # all devices on `data`
             print(f"[etl] sharding extraction over "
                   f"{jax.device_count()} devices")
-        feats, poss = extract_split_features_resumable(
-            list(file_names), out_dir=out_dir, split=split,
+        ex_kwargs = dict(
             extractor_params=extractor,
             num_objects=cfg.model.num_objects, max_obj=d.max_obj,
             batch_size=batch_size, image_model=d.image_model,
@@ -513,7 +501,55 @@ def run_etl(cfg: Config, *, coco_root: str,
             roi_trunk_size=d.roi_trunk_size,
             roi_detect_size=d.roi_detect_size,
             num_position_dims=cfg.model.dim_positions, mesh=mesh)
-        save_hkl(feats, os.path.join(out_dir, f"{split}.features.hkl"))
-        save_hkl(poss, os.path.join(out_dir, f"{split}.positions.hkl"))
+        fp = extraction_fingerprint(list(file_names), ex_kwargs)
+
+        feats_path = os.path.join(out_dir, f"{split}.features.hkl")
+        pos_path = os.path.join(out_dir, f"{split}.positions.hkl")
+        meta_path = os.path.join(out_dir, f"{split}.features.meta.json")
+        if os.path.exists(feats_path) and os.path.exists(pos_path):
+            # a completed split's final artifacts survive a later crash
+            # (e.g. train finished, the job died during valid): skip its
+            # extraction instead of redoing the days-scale work — its
+            # shard manifest is already cleaned, so the resumable layer
+            # alone can't save us here.  Skip requires (a) the row count
+            # to match the (re)built caption artifacts AND (b) the stored
+            # semantic fingerprint (config + weights + image list) to
+            # match — a feature_mode/checkpoint switch re-extracts
+            # instead of silently keeping stale features (crop- and
+            # roi-mode features are NOT interchangeable, docs/parity.md).
+            # Delete the .hkl files to force re-extraction.
+            from ..utils.io import open_hkl
+            ds = open_hkl(feats_path)
+            rows, shape = ds.shape[0], ds.shape
+            ds.close()
+            stored_fp = None
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    stored_fp = json.load(f).get("fingerprint")
+            if rows == len(file_names) and stored_fp == fp:
+                print(f"[etl] {split}: features {shape} already on disk, "
+                      "fingerprint matches — skipping extraction (delete "
+                      "the .hkl files to force)")
+                continue
+            if rows == len(file_names) and stored_fp is None:
+                # pre-fingerprint dataset: keep the legacy skip, loudly
+                print(f"[etl] {split}: features {shape} already on disk "
+                      "(no fingerprint recorded — pre-r3 artifacts; "
+                      "config/weights changes are NOT detected; delete "
+                      "the .hkl files to force) — skipping extraction")
+                continue
+            print(f"[etl] {split}: stale features on disk "
+                  + (f"({rows} rows vs {len(file_names)} images)"
+                     if rows != len(file_names)
+                     else "(extraction config/weights changed)")
+                  + " — re-extracting")
+
+        feats, poss = extract_split_features_resumable(
+            list(file_names), out_dir=out_dir, split=split, **ex_kwargs)
+        save_hkl(feats, feats_path)
+        save_hkl(poss, pos_path)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump({"fingerprint": fp}, f)
+        os.replace(meta_path + ".tmp", meta_path)
         _clean_shards(out_dir, split)
         print(f"[etl] {split}: features {feats.shape} saved")

@@ -120,8 +120,15 @@ def load_letterboxed_batch(paths: Sequence[str], size: int = 640, *,
         metas.ctypes.data_as(ctypes.c_void_p),
         sizes.ctypes.data_as(ctypes.c_void_p),
         ok.ctypes.data_as(ctypes.c_void_p))
-    for i in np.nonzero(ok == 0)[0]:
-        canvases[i], m, sizes[i] = load_letterboxed(paths[i], size,
-                                                    rect=rect)
-        metas[i, :m.shape[0]] = m
+    failed = np.nonzero(ok == 0)[0]
+    if failed.size:
+        # PIL fallback for images the native decoder rejects (non-JPEG,
+        # truncated, CMYK) — pooled when a pool is available, so a
+        # PNG-heavy segment doesn't degrade to single-threaded decode
+        mapper = io_pool.map if io_pool is not None else map
+        for i, (c, m, z) in zip(failed, mapper(
+                lambda p: load_letterboxed(p, size, rect=rect),
+                [paths[i] for i in failed])):
+            canvases[i], sizes[i] = c, z
+            metas[i, :m.shape[0]] = m
     return canvases, metas[:, :meta_dim], sizes

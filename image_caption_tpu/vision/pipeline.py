@@ -305,6 +305,8 @@ def extract_features_roi(params: ExtractorParams,
     b = canvases.shape[0]
     canvas_size = canvases.shape[1]
     detect_size = detect_size or canvas_size
+    validate_feature_mode("roi", roi_trunk_size=trunk_size,
+                          roi_detect_size=detect_size)
 
     def resized(size):
         if size == canvas_size:
@@ -375,10 +377,18 @@ def replicate_extractor_params(mesh, params):
 FEATURE_MODES = ("crop", "roi")
 
 
-def validate_feature_mode(mode: str, image_model: str = "YOLOv5") -> None:
+def validate_feature_mode(mode: str, image_model: str = "YOLOv5", *,
+                          roi_trunk_size: Optional[int] = None,
+                          roi_detect_size: Optional[int] = None) -> None:
     """Fail fast on unknown/unsupported feature modes — ``== "roi"``
     comparisons downstream would otherwise silently fall back to the
-    per-crop path (e.g. a ``--set data.feature_mode=ROI`` typo)."""
+    per-crop path (e.g. a ``--set data.feature_mode=ROI`` typo).
+
+    roi sizes must be multiples of YOLO's max stride (32): the anchor
+    decode computes xy as ``(sigmoid+grid)*stride`` with the fixed
+    8/16/32 stride table, and a non-multiple input makes the backbone's
+    ceil-sized maps drift off those strides — every box would be
+    silently offset/scaled wrong."""
     if mode not in FEATURE_MODES:
         raise ValueError(
             f"unknown feature_mode {mode!r}; expected one of "
@@ -388,6 +398,13 @@ def validate_feature_mode(mode: str, image_model: str = "YOLOv5") -> None:
             "feature_mode='roi' is only implemented for the YOLOv5 "
             "pipeline; the FasterRCNN path already pools trunk features "
             "via its own ROI heads (vision/frcnn.py)")
+    if mode == "roi":
+        for name, v in (("roi_trunk_size", roi_trunk_size),
+                        ("roi_detect_size", roi_detect_size)):
+            if v is not None and (v <= 0 or v % 32):
+                raise ValueError(
+                    f"{name}={v} must be a positive multiple of 32 "
+                    "(YOLOv5 max stride)")
 
 
 def extract_features_sharded(mesh, params: ExtractorParams,
@@ -404,7 +421,9 @@ def extract_features_sharded(mesh, params: ExtractorParams,
     keyword options as :func:`extract_features_batch` /
     :func:`extract_features_roi` (selected by ``feature_mode``)."""
     from ..parallel import mesh as pmesh
-    validate_feature_mode(feature_mode)
+    validate_feature_mode(feature_mode,
+                          roi_trunk_size=kwargs.get("trunk_size"),
+                          roi_detect_size=kwargs.get("detect_size"))
     b = canvases.shape[0]
     ndata = mesh.shape[pmesh.DATA_AXIS]
     if b % ndata:
@@ -549,9 +568,9 @@ def extract_single_image(path: str, *, image_model: str = "YOLOv5",
         if key not in _EXTRACTORS:
             _EXTRACTORS[key] = load_extractor(weights_dir)
         if rect:
-            # _load_letterboxed decodes once and returns (h, w) itself
-            from .etl import _load_letterboxed
-            canvas_np, meta_np, hw = _load_letterboxed(path, 640,
+            # load_letterboxed decodes once and returns (h, w) itself
+            from .loader import load_letterboxed
+            canvas_np, meta_np, hw = load_letterboxed(path, 640,
                                                        rect=True)
             canvas, meta = jnp.asarray(canvas_np), jnp.asarray(meta_np)
             h, w = float(hw[0]), float(hw[1])

@@ -234,6 +234,13 @@ def test_feature_mode_validated():
         validate_feature_mode("ROI")       # silent-crop-fallback typo
     with pytest.raises(ValueError, match="only implemented for the YOLO"):
         validate_feature_mode("roi", "FasterRCNN")
+    # roi sizes must be positive multiples of the 32-px YOLO max stride
+    # (a non-multiple silently skews every decoded box)
+    validate_feature_mode("roi", roi_trunk_size=448, roi_detect_size=320)
+    with pytest.raises(ValueError, match="multiple of 32"):
+        validate_feature_mode("roi", roi_detect_size=500)
+    with pytest.raises(ValueError, match="multiple of 32"):
+        validate_feature_mode("roi", roi_trunk_size=0)
 
 
 def test_run_etl_valid_only_against_existing_train_artifacts(
@@ -385,3 +392,16 @@ def test_run_etl_skips_completed_split(tmp_path, monkeypatch):
              os.path.join(data_path, "valid", "valid.features.hkl"))
     etl_mod.run_etl(cfg, coco_root="/nowhere", splits=["valid"])
     assert fake.calls["n"] == 2
+
+    # a config switch (crop -> roi) must re-extract even though the row
+    # count still matches: the stored semantic fingerprint mismatches
+    # (crop/roi features are NOT interchangeable, docs/parity.md)
+    cfg_roi = cfg.with_overrides(**{"data.feature_mode": "roi"})
+    etl_mod.run_etl(cfg_roi, coco_root="/nowhere", splits=["valid"])
+    assert fake.calls["n"] == 3
+
+    # pre-fingerprint datasets (no meta file) keep the legacy
+    # row-count-only skip (loudly), instead of nuking days-scale work
+    os.remove(os.path.join(data_path, "valid", "valid.features.meta.json"))
+    etl_mod.run_etl(cfg_roi, coco_root="/nowhere", splits=["valid"])
+    assert fake.calls["n"] == 3
