@@ -1,0 +1,179 @@
+"""Real-weight YOLOv5 box-set comparison: ultralytics vs our JAX stack.
+
+The last unproven detector-fidelity link (VERDICT r1 #3 / r2 missing
+#1): the JAX YOLOv5 (`vision/yolov5.py` + `vision/nms.py` +
+`vision/ops.py` letterbox) has algorithm-level oracles
+(tests/test_nms_oracle.py, tests/test_rect_letterbox.py) but has never
+been run against an actual ``yolov5x.pt`` box set — this offline
+environment has no weights, no ultralytics repo, no network
+(docs/parity.md "Detector fidelity").  This script is the comparison,
+one command per side the moment those exist:
+
+  # side 1 — wherever ultralytics yolov5 (2020 lineage) + weights live:
+  python scripts/yolo_realweight_check.py record \\
+      --weights yolov5x.pt --yolov5-repo ./yolov5 \\
+      --images ./sample_coco/*.jpg --out ref_boxes.npz
+  python scripts/export_yolov5_npz.py yolov5x.pt weights/yolov5x.npz
+
+  # side 2 — here (or anywhere with jax + the two npz):
+  python scripts/yolo_realweight_check.py check \\
+      --recorded ref_boxes.npz --weights-npz weights/yolov5x.npz
+
+``record`` drives the REFERENCE path exactly as
+``data/detect_for_preprocess.py:25-167`` does — ultralytics
+``attempt_load`` + ``LoadImages`` rect letterbox (``:55,66``) +
+``non_max_suppression(conf=0.01, iou=0.45)`` (``:28-29,78``) +
+``scale_coords`` back to original pixels — using the upstream library's
+own functions, and records per-image (paths, xyxy, conf, cls).
+``check`` runs our stack on the same image files
+(``load_letterboxed(rect=True)`` -> ``yolov5_detect`` ->
+``unletterbox_boxes``) and greedily IoU-matches the top-K boxes per
+image.  PASS when every reference box in the reference's *used* prefix
+(top ``num_obj//2 = 18``, detect_for_preprocess.py:141-142) has an
+IoU >= --iou-match partner of the same class with |conf delta| <=
+--conf-tol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def record(args) -> int:
+    import torch
+    sys.path.insert(0, args.yolov5_repo)
+    from models.experimental import attempt_load          # yolov5 repo
+    from utils.datasets import LoadImages
+    from utils.general import non_max_suppression, scale_coords
+
+    model = attempt_load(args.weights, map_location="cpu")
+    model.eval()
+    paths = sorted(sum((glob.glob(p) for p in args.images), []))
+    assert paths, f"no images match {args.images}"
+
+    out = {"paths": np.asarray(paths)}
+    dataset = LoadImages(os.path.commonpath(paths) if len(paths) > 1
+                         else paths[0], img_size=args.img_size)
+    per_image = {}
+    for path, img, im0, _ in dataset:
+        if path not in paths:
+            continue
+        x = torch.from_numpy(img).float().unsqueeze(0) / 255.0
+        with torch.no_grad():
+            pred = model(x)[0]
+        det = non_max_suppression(pred, args.conf_thres, args.iou_thres)[0]
+        if det is not None and len(det):
+            det[:, :4] = scale_coords(x.shape[2:], det[:, :4],
+                                      im0.shape).round()
+            per_image[path] = det.cpu().numpy()
+        else:
+            per_image[path] = np.zeros((0, 6), np.float32)
+    for i, p in enumerate(paths):
+        out[f"det_{i}"] = per_image[p]
+    np.savez(args.out, **out)
+    print(f"recorded {len(paths)} images -> {args.out}")
+    return 0
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.prod(np.clip(br - tl, 0, None), axis=-1)
+    area_a = np.prod(a[:, 2:] - a[:, :2], axis=-1)
+    area_b = np.prod(b[:, 2:] - b[:, :2], axis=-1)
+    return inter / (area_a[:, None] + area_b[None] - inter + 1e-9)
+
+
+def check(args) -> int:
+    import jax.numpy as jnp
+
+    from image_caption_tpu.vision.loader import load_letterboxed
+    from image_caption_tpu.vision.ops import unletterbox_boxes
+    from image_caption_tpu.vision.yolov5 import (load_checkpoint,
+                                                 stem_is_focus,
+                                                 yolov5_detect)
+
+    rec = np.load(args.recorded, allow_pickle=False)
+    paths = [str(p) for p in rec["paths"]]
+    params = load_checkpoint(args.weights_npz)
+
+    n_fail = 0
+    for i, path in enumerate(paths):
+        canvas, meta, hw = load_letterboxed(path, args.img_size, rect=True)
+        det = yolov5_detect(
+            params, jnp.asarray(canvas[None], jnp.float32) / 255.0,
+            conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+            max_det=args.max_det, focus_stem=stem_is_focus(params),
+            rect_hw=jnp.asarray(meta[None, 3:5]))
+        valid = np.asarray(det.valid[0])
+        boxes = np.asarray(unletterbox_boxes(
+            det.boxes[0], jnp.asarray(meta), float(hw[0]), float(hw[1])))
+        ours = np.concatenate(
+            [boxes, np.asarray(det.scores[0])[:, None],
+             np.asarray(det.classes[0])[:, None].astype(np.float32)],
+            axis=1)[valid]
+        ref = rec[f"det_{i}"][:args.used_prefix]
+
+        unmatched = []
+        used = np.zeros(len(ours), bool)
+        iou = _iou_matrix(ref[:, :4], ours[:, :4]) if len(ref) and \
+            len(ours) else np.zeros((len(ref), len(ours)))
+        for r in range(len(ref)):
+            j = int(iou[r].argmax()) if iou.shape[1] else -1
+            good = (j >= 0 and not used[j] and iou[r, j] >= args.iou_match
+                    and int(ref[r, 5]) == int(ours[j, 5])
+                    and abs(ref[r, 4] - ours[j, 4]) <= args.conf_tol)
+            if good:
+                used[j] = True
+            else:
+                unmatched.append((ref[r], iou[r, j] if j >= 0 else 0.0))
+        status = "ok" if not unmatched else f"{len(unmatched)} UNMATCHED"
+        print(f"[{os.path.basename(path)}] ref {len(ref)} vs ours "
+              f"{len(ours)} boxes: {status}")
+        for rbox, best in unmatched:
+            print(f"    ref box {rbox[:4].round(1)} conf {rbox[4]:.3f} "
+                  f"cls {int(rbox[5])} best-iou {best:.3f}")
+        n_fail += bool(unmatched)
+
+    print(f"{'PASS' if n_fail == 0 else 'FAIL'}: "
+          f"{len(paths) - n_fail}/{len(paths)} images fully matched "
+          f"(iou>={args.iou_match}, conf tol {args.conf_tol}, "
+          f"top-{args.used_prefix} reference prefix)")
+    return 0 if n_fail == 0 else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="mode", required=True)
+    r = sub.add_parser("record")
+    r.add_argument("--weights", required=True)
+    r.add_argument("--yolov5-repo", required=True)
+    r.add_argument("--images", nargs="+", required=True)
+    r.add_argument("--out", default="ref_boxes.npz")
+    c = sub.add_parser("check")
+    c.add_argument("--recorded", required=True)
+    c.add_argument("--weights-npz", required=True)
+    c.add_argument("--iou-match", type=float, default=0.9)
+    c.add_argument("--conf-tol", type=float, default=0.01)
+    c.add_argument("--max-det", type=int, default=36)
+    c.add_argument("--used-prefix", type=int, default=18,
+                   help="reference uses only the top num_obj//2 = 18 "
+                        "detections (detect_for_preprocess.py:141-142)")
+    for p in (r, c):
+        p.add_argument("--img-size", type=int, default=640)
+        p.add_argument("--conf-thres", type=float, default=0.01)
+        p.add_argument("--iou-thres", type=float, default=0.45)
+    args = ap.parse_args()
+    return record(args) if args.mode == "record" else check(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
