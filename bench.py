@@ -6,6 +6,9 @@ Metrics (all single-chip):
     image); vs the 5k img/s v5e-8 north star => 625 img/s/chip target.
   * feature_extraction_throughput_etl — same pipeline in the offline-ETL
     configuration (max_obj=5: 6 crops/image, what features.py runs).
+  * feature_extraction_throughput_roi / _roi_fast — the opt-in
+    shared-trunk fast mode (feature_mode='roi') at its default
+    (448/448) and fastest measured (320/320) quality points.
   * xe_train_steps_per_sec — flagship XE train step, batch 32 (the
     reference's solver shape, core/config.py:59-62), measured through
     the train loop's scanned multi-step dispatch (train.scan_steps=16);
@@ -137,6 +140,21 @@ def bench_extraction_roi(batch=128):
             "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
 
 
+def bench_extraction_roi_fast(batch=128):
+    """The roi recipe at its measured fastest quality point
+    (trunk 320 / detect 320, docs/performance.md roi table) — the config
+    that clears the 625 img/s/chip north-star share on one chip."""
+    from image_caption_tpu.vision.pipeline import extract_features_roi
+    params, canvases, metas, sizes = _extract_inputs(batch)
+    dt = _median_time(lambda: extract_features_roi(
+        params, canvases, metas, sizes, max_obj=5, trunk_size=320,
+        detect_size=320), warmup=2, iters=5)
+    v = batch / dt
+    return {"metric": "feature_extraction_throughput_roi_fast",
+            "value": round(v, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+
+
 def bench_xe_step(batch=32, scan_k=16):
     """The train loop's scanned dispatch (train.scan_steps): K updates
     per program — per-step dispatch overhead (a full ~30 ms RTT on this
@@ -219,9 +237,13 @@ def bench_beam(batch=128, beam=3):
     feats, pos, _ = _fake_caption_batch(m, batch)
     feats, pos = jax.device_put(feats), jax.device_put(pos)
 
+    # the flagship preset is the RL model, whose reference beam scores in
+    # log-probs (model_RL.py:157,182); perf is mode-independent
+    from image_caption_tpu.models.decoding import beam_score_mode
     dt = _median_time(lambda: beam_search(params, m, feats, pos,
                                           beam_size=beam,
-                                          score_mode="prob",
+                                          score_mode=beam_score_mode(
+                                              cfg.caption_model),
                                           use_pallas=True))
     v = batch / dt
     return {"metric": "caption_decode_throughput_beam3",
@@ -231,8 +253,8 @@ def bench_beam(batch=128, beam=3):
 
 def main() -> None:
     for fn in (bench_extraction, bench_extraction_etl,
-               bench_extraction_roi, bench_xe_step,
-               bench_rl_step, bench_greedy, bench_beam):
+               bench_extraction_roi, bench_extraction_roi_fast,
+               bench_xe_step, bench_rl_step, bench_greedy, bench_beam):
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as exc:   # a broken secondary metric must not

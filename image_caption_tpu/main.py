@@ -136,8 +136,10 @@ def cmd_demo(args) -> None:
     feats_b = feats[None].astype(np.float32)
     poss_b = poss[None].astype(np.float32)
     if args.beam_size and args.beam_size > 1:
+        from .models.decoding import beam_score_mode
         tokens = beam_search(state.params, cfg.model, feats_b, poss_b,
-                             beam_size=args.beam_size, score_mode="prob")
+                             beam_size=args.beam_size,
+                             score_mode=beam_score_mode(cfg.caption_model))
         attention = None
     else:
         tokens, attention = greedy_decode(state.params, cfg.model,

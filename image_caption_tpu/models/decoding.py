@@ -387,6 +387,15 @@ def _reindex_small(x: jnp.ndarray, beam_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x, idx, axis=1)
 
 
+def beam_score_mode(caption_model: str) -> str:
+    """The reference's two models score beams DIFFERENTLY: the XE
+    ``Transformer`` accumulates softmax probabilities (model.py:183)
+    while ``PolicyNetwork`` accumulates log-probs (model_RL.py:157,182 —
+    ``self.softmax = nn.LogSoftmax``).  All decode wiring keys the mode
+    on CAPTION_MODEL for parity."""
+    return "logprob" if caption_model == "RL_Transformer" else "prob"
+
+
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "score_mode",
                                    "use_pallas", "stop_at_end"))
 def beam_search(params: Params, cfg: ModelConfig,

@@ -42,7 +42,7 @@ def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
     """Greedy/beam decode every image in a split -> list of caption strings
     indexed by image row (the ``{split}.candidate.captions.pkl`` contract,
     main.py:172-184)."""
-    from ..models.decoding import beam_search
+    from ..models.decoding import beam_score_mode, beam_search
     out: List[Optional[str]] = [None] * split.num_images
     for feats, poss, idxs, real in ImageBatches(split, batch_size):
         if beam_size is None or beam_size <= 1:
@@ -51,7 +51,9 @@ def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
         else:
             tokens = beam_search(params, cfg.model, feats, poss,
                                  beam_size=beam_size,
-                                 score_mode="prob", use_pallas=use_pallas)
+                                 score_mode=beam_score_mode(
+                                     cfg.caption_model),
+                                 use_pallas=use_pallas)
         strs = decode_captions(np.asarray(tokens)[:real], idx_to_word)
         for i, s in zip(idxs[:real], strs):
             out[int(i)] = s
@@ -124,7 +126,8 @@ class Trainer:
         greedy for beam_size in (None, 1), beam search for > 1; returns
         (caption strings, attention-or-None)."""
         from ..data.vocab import decode_captions
-        from ..models.decoding import beam_search, greedy_decode
+        from ..models.decoding import (beam_score_mode, beam_search,
+                                       greedy_decode)
         assert beam_size is None or beam_size >= 1, beam_size
         if beam_size is None or beam_size == 1:
             tokens, attention = greedy_decode(
@@ -133,7 +136,8 @@ class Trainer:
         else:
             tokens = beam_search(self.state.params, self.cfg.model,
                                  features, positions, beam_size=beam_size,
-                                 score_mode="prob")
+                                 score_mode=beam_score_mode(
+                                     self.cfg.caption_model))
             attention = None
         caps = decode_captions(np.asarray(tokens), idx_to_word)
         return caps, attention

@@ -227,3 +227,41 @@ def test_cached_greedy_matches_naive_move_first():
     got_b = D.beam_search(params, cfg.model, feats, pos, beam_size=2,
                           score_mode="prob")
     np.testing.assert_array_equal(np.asarray(got_b), want_b)
+
+
+def test_beam_score_mode_follows_caption_model(tiny_cfg, monkeypatch):
+    """Parity wiring: the XE Transformer's beam accumulates softmax
+    PROBABILITIES (model.py:183) but PolicyNetwork accumulates LOG-probs
+    (model_RL.py:157,182 — self.softmax = nn.LogSoftmax); decode paths
+    must pick the mode from CAPTION_MODEL."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from image_caption_tpu.models import decoding
+    from image_caption_tpu.train.loop import Trainer
+
+    assert decoding.beam_score_mode("Transformer") == "prob"
+    assert decoding.beam_score_mode("RL_Transformer") == "logprob"
+
+    captured = {}
+
+    def fake_beam(params, m, feats, poss, *, beam_size, score_mode,
+                  **kw):
+        captured["mode"] = score_mode
+        return jnp.zeros((feats.shape[0], m.max_length), jnp.int32)
+
+    monkeypatch.setattr(decoding, "beam_search", fake_beam)
+
+    tr = Trainer(tiny_cfg)
+    from conftest import make_fake_batch
+    feats, poss, _ = make_fake_batch(tiny_cfg, batch=2)
+    idx_to_word = {i: f"w{i}" for i in range(tiny_cfg.model.num_vocab)}
+    idx_to_word.update({0: "<NULL>", 1: "<START>", 2: "<END>"})
+
+    tr.generate_caption(feats, poss, idx_to_word, beam_size=2)
+    assert captured["mode"] == "prob"
+
+    tr.cfg = replace(tiny_cfg, caption_model="RL_Transformer")
+    tr.generate_caption(feats, poss, idx_to_word, beam_size=2)
+    assert captured["mode"] == "logprob"
