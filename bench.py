@@ -124,35 +124,33 @@ def bench_extraction_etl(batch=128):
                                     batch, max_obj=5)
 
 
+def _bench_roi_config(metric, batch, **kwargs):
+    from image_caption_tpu.vision.pipeline import extract_features_roi
+    params, canvases, metas, sizes = _extract_inputs(batch)
+    dt = _median_time(lambda: extract_features_roi(
+        params, canvases, metas, sizes, max_obj=5, **kwargs),
+        warmup=2, iters=5)
+    v = batch / dt
+    return {"metric": metric,
+            "value": round(v, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+
+
 def bench_extraction_roi(batch=128):
     """Opt-in shared-trunk fast mode (feature_mode='roi'): detection at
     448 + one ResNet-101 trunk over the shared 448 canvas + ROI-aligned
     slot features instead of a ResNet forward per crop (docs/parity.md
     caveat applies)."""
-    from image_caption_tpu.vision.pipeline import extract_features_roi
-    params, canvases, metas, sizes = _extract_inputs(batch)
-    dt = _median_time(lambda: extract_features_roi(
-        params, canvases, metas, sizes, max_obj=5, detect_size=448),
-        warmup=2, iters=5)
-    v = batch / dt
-    return {"metric": "feature_extraction_throughput_roi",
-            "value": round(v, 2), "unit": "images/sec/chip",
-            "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+    return _bench_roi_config("feature_extraction_throughput_roi", batch,
+                             detect_size=448)
 
 
 def bench_extraction_roi_fast(batch=128):
     """The roi recipe at its measured fastest quality point
     (trunk 320 / detect 320, docs/performance.md roi table) — the config
     that clears the 625 img/s/chip north-star share on one chip."""
-    from image_caption_tpu.vision.pipeline import extract_features_roi
-    params, canvases, metas, sizes = _extract_inputs(batch)
-    dt = _median_time(lambda: extract_features_roi(
-        params, canvases, metas, sizes, max_obj=5, trunk_size=320,
-        detect_size=320), warmup=2, iters=5)
-    v = batch / dt
-    return {"metric": "feature_extraction_throughput_roi_fast",
-            "value": round(v, 2), "unit": "images/sec/chip",
-            "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+    return _bench_roi_config("feature_extraction_throughput_roi_fast",
+                             batch, trunk_size=320, detect_size=320)
 
 
 def bench_xe_step(batch=32, scan_k=16):

@@ -81,9 +81,12 @@ def main() -> int:
           "(fix data/tokenizer.py + the fixture notes for any)")
 
     if args.captions:
-        import ujson
+        try:                     # ujson matches the reference's parser but
+            import ujson as _json   # is often absent on foreign machines;
+        except ImportError:          # stdlib json parses COCO identically
+            _json = json
         with open(args.captions) as f:
-            anns = ujson.load(f)["annotations"]
+            anns = _json.load(f)["annotations"]
         n_div = 0
         for i, a in enumerate(anns):
             cap = a["caption"]

@@ -56,28 +56,34 @@ def record(args) -> int:
 
     model = attempt_load(args.weights, map_location="cpu")
     model.eval()
-    paths = sorted(sum((glob.glob(p) for p in args.images), []))
+    # abspath + per-file LoadImages: ultralytics' LoadImages absolutizes
+    # its paths and globs directories non-recursively, so feeding it a
+    # common directory and filtering by the raw --images strings drops
+    # files (relative globs, multi-directory sets).  One LoadImages per
+    # file has neither problem.
+    paths = sorted({os.path.abspath(q)
+                    for p in args.images for q in glob.glob(p)})
     assert paths, f"no images match {args.images}"
 
-    out = {"paths": np.asarray(paths)}
-    dataset = LoadImages(os.path.commonpath(paths) if len(paths) > 1
-                         else paths[0], img_size=args.img_size)
-    per_image = {}
-    for path, img, im0, _ in dataset:
-        if path not in paths:
-            continue
-        x = torch.from_numpy(img).float().unsqueeze(0) / 255.0
-        with torch.no_grad():
-            pred = model(x)[0]
-        det = non_max_suppression(pred, args.conf_thres, args.iou_thres)[0]
-        if det is not None and len(det):
-            det[:, :4] = scale_coords(x.shape[2:], det[:, :4],
-                                      im0.shape).round()
-            per_image[path] = det.cpu().numpy()
-        else:
-            per_image[path] = np.zeros((0, 6), np.float32)
+    out = {"paths": np.asarray(paths),
+           # the check side must run the SAME geometry/thresholds; embed
+           # them so a record/check flag mismatch can't masquerade as a
+           # fidelity failure
+           "record_args": np.asarray([args.img_size, args.conf_thres,
+                                      args.iou_thres], np.float64)}
     for i, p in enumerate(paths):
-        out[f"det_{i}"] = per_image[p]
+        det_np = np.zeros((0, 6), np.float32)
+        for _, img, im0, _ in LoadImages(p, img_size=args.img_size):
+            x = torch.from_numpy(img).float().unsqueeze(0) / 255.0
+            with torch.no_grad():
+                pred = model(x)[0]
+            det = non_max_suppression(pred, args.conf_thres,
+                                      args.iou_thres)[0]
+            if det is not None and len(det):
+                det[:, :4] = scale_coords(x.shape[2:], det[:, :4],
+                                          im0.shape).round()
+                det_np = det.cpu().numpy()
+        out[f"det_{i}"] = det_np
     np.savez(args.out, **out)
     print(f"recorded {len(paths)} images -> {args.out}")
     return 0
@@ -92,6 +98,32 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / (area_a[:, None] + area_b[None] - inter + 1e-9)
 
 
+def match_ref_boxes(ref: np.ndarray, ours: np.ndarray, iou_match: float,
+                    conf_tol: float):
+    """Greedy per-reference-box matching.  Returns ``[(ref_row,
+    best_iou)]`` for unmatched boxes.  Eligible partners only: same class
+    (ultralytics NMS is per-class, so co-located boxes of different
+    classes are normal), not yet claimed, IoU and conf within tolerance —
+    THEN best IoU.  A bare global argmax false-fails exact matches
+    whenever a tie or an already-used box wins it."""
+    unmatched = []
+    used = np.zeros(len(ours), bool)
+    iou = _iou_matrix(ref[:, :4], ours[:, :4]) if len(ref) and \
+        len(ours) else np.zeros((len(ref), len(ours)))
+    for r in range(len(ref)):
+        elig = (~used & (iou[r] >= iou_match)
+                & (ours[:, 5].astype(int) == int(ref[r, 5]))
+                & (np.abs(ours[:, 4] - ref[r, 4]) <= conf_tol)
+                ) if iou.shape[1] else np.zeros(0, bool)
+        if elig.any():
+            j = int(np.where(elig, iou[r], -1.0).argmax())
+            used[j] = True
+        else:
+            best = float(iou[r].max()) if iou.shape[1] else 0.0
+            unmatched.append((ref[r], best))
+    return unmatched
+
+
 def check(args) -> int:
     import jax.numpy as jnp
 
@@ -103,14 +135,26 @@ def check(args) -> int:
 
     rec = np.load(args.recorded, allow_pickle=False)
     paths = [str(p) for p in rec["paths"]]
+    if args.images_root:             # recorded on another machine: rebase
+        paths = [os.path.join(args.images_root, os.path.basename(p))
+                 for p in paths]
+    if "record_args" in rec:         # run the recorded geometry/thresholds
+        img_size = int(rec["record_args"][0])
+        conf_thres, iou_thres = (float(rec["record_args"][1]),
+                                 float(rec["record_args"][2]))
+        print(f"[recorded args] img_size={img_size} conf={conf_thres} "
+              f"iou={iou_thres}")
+    else:
+        img_size, conf_thres, iou_thres = (args.img_size, args.conf_thres,
+                                           args.iou_thres)
     params = load_checkpoint(args.weights_npz)
 
     n_fail = 0
     for i, path in enumerate(paths):
-        canvas, meta, hw = load_letterboxed(path, args.img_size, rect=True)
+        canvas, meta, hw = load_letterboxed(path, img_size, rect=True)
         det = yolov5_detect(
             params, jnp.asarray(canvas[None], jnp.float32) / 255.0,
-            conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+            conf_thres=conf_thres, iou_thres=iou_thres,
             max_det=args.max_det, focus_stem=stem_is_focus(params),
             rect_hw=jnp.asarray(meta[None, 3:5]))
         valid = np.asarray(det.valid[0])
@@ -122,19 +166,8 @@ def check(args) -> int:
             axis=1)[valid]
         ref = rec[f"det_{i}"][:args.used_prefix]
 
-        unmatched = []
-        used = np.zeros(len(ours), bool)
-        iou = _iou_matrix(ref[:, :4], ours[:, :4]) if len(ref) and \
-            len(ours) else np.zeros((len(ref), len(ours)))
-        for r in range(len(ref)):
-            j = int(iou[r].argmax()) if iou.shape[1] else -1
-            good = (j >= 0 and not used[j] and iou[r, j] >= args.iou_match
-                    and int(ref[r, 5]) == int(ours[j, 5])
-                    and abs(ref[r, 4] - ours[j, 4]) <= args.conf_tol)
-            if good:
-                used[j] = True
-            else:
-                unmatched.append((ref[r], iou[r, j] if j >= 0 else 0.0))
+        unmatched = match_ref_boxes(ref, ours, args.iou_match,
+                                    args.conf_tol)
         status = "ok" if not unmatched else f"{len(unmatched)} UNMATCHED"
         print(f"[{os.path.basename(path)}] ref {len(ref)} vs ours "
               f"{len(ours)} boxes: {status}")
@@ -161,6 +194,10 @@ def main() -> int:
     c = sub.add_parser("check")
     c.add_argument("--recorded", required=True)
     c.add_argument("--weights-npz", required=True)
+    c.add_argument("--images-root", default=None,
+                   help="rebase recorded image paths (by basename) onto "
+                        "this directory when checking on a different "
+                        "machine than the recording")
     c.add_argument("--iou-match", type=float, default=0.9)
     c.add_argument("--conf-tol", type=float, default=0.01)
     c.add_argument("--max-det", type=int, default=36)

@@ -70,3 +70,39 @@ def test_check_side_self_consistency(tmp_path, monkeypatch):
         "yolo_realweight_check.py", "check", "--recorded", rec_path,
         "--weights-npz", "unused.npz", "--img-size", "320"])
     assert mod.main() == 0
+
+    # record_args embedded + foreign paths rebased via --images-root:
+    # geometry comes from the npz (no --img-size needed) and the recorded
+    # absolute path from "another machine" is resolved by basename
+    rec2 = str(tmp_path / "rec2.npz")
+    np.savez(rec2, paths=np.asarray(["/foreign/host/img_0.jpg"]),
+             det_0=ref, record_args=np.asarray([320, 0.01, 0.45]))
+    monkeypatch.setattr(sys, "argv", [
+        "yolo_realweight_check.py", "check", "--recorded", rec2,
+        "--weights-npz", "unused.npz", "--images-root", str(tmp_path)])
+    assert mod.main() == 0
+
+
+def test_match_ref_boxes_class_aware():
+    """The adversarial cases a global IoU-argmax gets wrong: co-located
+    boxes of different classes (per-class ultralytics NMS keeps both) and
+    an argmax partner already claimed by an earlier reference box."""
+    mod = _load_script()
+    b = [10.0, 10.0, 50.0, 50.0]
+
+    # identical boxes, classes swapped between ref and ours: exact match
+    ref = np.asarray([b + [0.9, 3], b + [0.8, 5]], np.float32)
+    ours = np.asarray([b + [0.8, 5], b + [0.9, 3]], np.float32)
+    assert mod.match_ref_boxes(ref, ours, 0.9, 0.01) == []
+
+    # two same-class refs, our argmax for both is index 0; the second ref
+    # must fall through to the unclaimed equally-good index 1
+    ref = np.asarray([b + [0.9, 3], b + [0.9, 3]], np.float32)
+    ours = np.asarray([b + [0.9, 3], b + [0.9, 3]], np.float32)
+    assert mod.match_ref_boxes(ref, ours, 0.9, 0.01) == []
+
+    # a genuine miss still reports: class present nowhere in ours
+    ref = np.asarray([b + [0.9, 7]], np.float32)
+    ours = np.asarray([b + [0.9, 3]], np.float32)
+    un = mod.match_ref_boxes(ref, ours, 0.9, 0.01)
+    assert len(un) == 1 and un[0][1] > 0.99  # best-iou reported anyway
