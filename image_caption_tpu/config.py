@@ -44,7 +44,9 @@ class ModelConfig:
     dim_positions: int = 84              # YOLOv5: 4 xyxy + 80 class*conf (core/config.py:53-54)
     pad_idx: int = 0                     # core/config.py:8
     dropout: float = 0.3                 # core/config.py:61
-    attention_dropout: float = 0.1       # modules.py:8 (fixed, not from config)
+    attention_dropout: float = 0.1       # modules.py:8 (fixed 0.1 in the
+                                         # reference; configurable here —
+                                         # plumbed through every block)
 
     # encoder (core/config.py:87-93 for the shipped preset)
     encode_input_size: int = 256

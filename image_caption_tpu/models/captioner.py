@@ -107,7 +107,8 @@ def encoder_apply(params: Params, cfg: ModelConfig,
         out = L.layer_norm(params["norm"], emb_f + emb_p)
         out, _ = L.encoder_block(
             params["image_encoder"], out, num_heads=cfg.encode_num_heads,
-            dropout_rate=cfg.dropout, non_pad_mask=non_pad,
+            dropout_rate=cfg.dropout,
+            attention_dropout=cfg.attention_dropout, non_pad_mask=non_pad,
             attention_mask=pair_mask, rng=rngs[0],
             deterministic=deterministic, use_pallas=use_pallas,
             need_weights=False)
@@ -143,14 +144,16 @@ def encoder_apply(params: Params, cfg: ModelConfig,
         if cfg.encode_mask:
             output, attn = L.encoder_block(
                 block, output, num_heads=cfg.encode_num_heads,
-                dropout_rate=cfg.dropout, non_pad_mask=non_pad,
+                dropout_rate=cfg.dropout,
+                attention_dropout=cfg.attention_dropout, non_pad_mask=non_pad,
                 attention_mask=self_mask, rng=rngs[1 + i],
                 deterministic=deterministic, use_pallas=use_pallas,
                 need_weights=need_weights)
         else:
             output, attn = L.encoder_block(
                 block, output, num_heads=cfg.encode_num_heads,
-                dropout_rate=cfg.dropout, rng=rngs[1 + i],
+                dropout_rate=cfg.dropout,
+                attention_dropout=cfg.attention_dropout, rng=rngs[1 + i],
                 deterministic=deterministic, use_pallas=use_pallas,
                 need_weights=need_weights)
         attentions.append(attn)
@@ -250,7 +253,8 @@ def decoder_apply(params: Params, cfg: ModelConfig,
     for i, block in enumerate(params["blocks"]):
         x, self_attn, cross_attn = L.decoder_block(
             block, x, encode_output, num_heads=cfg.decode_num_heads,
-            dropout_rate=cfg.dropout, non_pad_mask=non_pad,
+            dropout_rate=cfg.dropout,
+            attention_dropout=cfg.attention_dropout, non_pad_mask=non_pad,
             self_attention_mask=self_mask,
             context_attention_mask=context_attention_mask,
             rng=rngs[i], deterministic=deterministic,

@@ -193,6 +193,7 @@ def init_encoder_block(key, input_size, hidden_size, num_heads,
 
 
 def encoder_block(params: Params, x, *, num_heads: int, dropout_rate: float,
+                  attention_dropout: float = 0.1,
                   non_pad_mask=None, attention_mask=None,
                   rng=None, deterministic=True, use_pallas=False,
                   need_weights=True):
@@ -202,6 +203,7 @@ def encoder_block(params: Params, x, *, num_heads: int, dropout_rate: float,
         r1, r2 = jax.random.split(rng)
     out, attn = mha(params["mha"], x, x, x, attention_mask,
                     num_heads=num_heads, dropout_rate=dropout_rate,
+                    attention_dropout=attention_dropout,
                     rng=r1, deterministic=deterministic,
                     use_pallas=use_pallas, need_weights=need_weights)
     out = ffn(params["ffn"], out, dropout_rate=dropout_rate, rng=r2,
@@ -222,7 +224,8 @@ def init_decoder_block(key, input_size, hidden_size, num_heads,
 
 
 def decoder_block(params: Params, x, encode_output, *, num_heads: int,
-                  dropout_rate: float, non_pad_mask=None,
+                  dropout_rate: float, attention_dropout: float = 0.1,
+                  non_pad_mask=None,
                   self_attention_mask=None, context_attention_mask=None,
                   rng=None, deterministic=True, use_pallas=False,
                   need_weights=True):
@@ -232,11 +235,13 @@ def decoder_block(params: Params, x, encode_output, *, num_heads: int,
         r1, r2, r3 = jax.random.split(rng, 3)
     out, self_attn = mha(params["self_attn"], x, x, x, self_attention_mask,
                          num_heads=num_heads, dropout_rate=dropout_rate,
+                         attention_dropout=attention_dropout,
                          rng=r1, deterministic=deterministic,
                          use_pallas=use_pallas, need_weights=need_weights)
     out, cross_attn = mha(params["cross_attn"], out, encode_output,
                           encode_output, context_attention_mask,
                           num_heads=num_heads, dropout_rate=dropout_rate,
+                          attention_dropout=attention_dropout,
                           rng=r2, deterministic=deterministic,
                           use_pallas=use_pallas, need_weights=need_weights)
     out = ffn(params["ffn"], out, dropout_rate=dropout_rate, rng=r3,

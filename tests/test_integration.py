@@ -87,6 +87,31 @@ def test_checkpoint_roundtrip(cfg):
 
 
 @pytest.mark.slow
+def test_train_loop_scan_steps_matches_single(cfg):
+    """The REAL train() with train.scan_steps=3 (chunked prefetch, scanned
+    dispatch, remainder as single steps, floor-crossing log cadence) must
+    produce the same final params as scan_steps=1 — this drives the loop's
+    _chunks/_prep wiring, not just the step-level scan equivalence
+    (tests/test_train_step.py)."""
+    import jax
+    from image_caption_tpu.train.loop import train
+
+    def run(k, tag):
+        c = cfg.with_overrides(**{
+            "data.output_path": cfg.data.output_path + f"_scan{tag}",
+            "train.scan_steps": k,
+            "train.log_every": 3, "train.sample_every": 7})
+        return train(c, num_epochs=2, verbose=False)
+
+    s1, s3 = run(1, "1"), run(3, "3")
+    assert int(s1.step) == int(s3.step) > 0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s1.params, s3.params)
+
+
+@pytest.mark.slow
 def test_train_resume_from_latest(cfg):
     """train() twice: the second run resumes from the saved epoch
     (SURVEY.md §5 checkpoint/resume — the reference restarts Adam and
