@@ -228,7 +228,7 @@ def bench_greedy(batch=128):
 def bench_beam(batch=128, beam=3):
     import jax
     from image_caption_tpu.models.captioner import init_captioner
-    from image_caption_tpu.models.decoding import beam_search
+    from image_caption_tpu.models.decoding import beam_score_mode, beam_search
     cfg = _flagship()
     m = cfg.model
     params = init_captioner(jax.random.PRNGKey(0), m)
@@ -237,7 +237,6 @@ def bench_beam(batch=128, beam=3):
 
     # the flagship preset is the RL model, whose reference beam scores in
     # log-probs (model_RL.py:157,182); perf is mode-independent
-    from image_caption_tpu.models.decoding import beam_score_mode
     dt = _median_time(lambda: beam_search(params, m, feats, pos,
                                           beam_size=beam,
                                           score_mode=beam_score_mode(

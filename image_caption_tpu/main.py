@@ -109,7 +109,7 @@ def cmd_demo(args) -> None:
     import jax
     import numpy as np
     from .data.vocab import decode_captions, invert_vocab
-    from .models.decoding import beam_search, greedy_decode
+    from .models.decoding import beam_score_mode, beam_search, greedy_decode
     from .train.checkpoint import CheckpointManager
     from .train.state import create_train_state
     from .utils.io import load_pickle
@@ -136,7 +136,6 @@ def cmd_demo(args) -> None:
     feats_b = feats[None].astype(np.float32)
     poss_b = poss[None].astype(np.float32)
     if args.beam_size and args.beam_size > 1:
-        from .models.decoding import beam_score_mode
         tokens = beam_search(state.params, cfg.model, feats_b, poss_b,
                              beam_size=args.beam_size,
                              score_mode=beam_score_mode(cfg.caption_model))

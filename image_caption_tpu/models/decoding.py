@@ -392,7 +392,11 @@ def beam_score_mode(caption_model: str) -> str:
     ``Transformer`` accumulates softmax probabilities (model.py:183)
     while ``PolicyNetwork`` accumulates log-probs (model_RL.py:157,182 —
     ``self.softmax = nn.LogSoftmax``).  All decode wiring keys the mode
-    on CAPTION_MODEL for parity."""
+    on CAPTION_MODEL for parity.  Unknown model names fail loudly here
+    rather than silently decoding in the wrong mode (the bug this mapping
+    exists to prevent)."""
+    assert caption_model in ("Transformer", "RL_Transformer"), \
+        f"unknown CAPTION_MODEL {caption_model!r} (core/config.py:13-14)"
     return "logprob" if caption_model == "RL_Transformer" else "prob"
 
 

@@ -56,6 +56,12 @@ def main() -> int:
     try:
         server = CoreNLPTokenizer(url=args.url)
         server.tokenize("smoke test")
+    except ImportError as e:
+        # not a server problem — don't send the operator off to debug a
+        # CoreNLP instance that is probably running fine
+        print(f"missing python dependency for the CoreNLP client ({e}); "
+              "pip install it and re-run")
+        return 1
     except Exception as e:
         print(f"no CoreNLP server reachable at {args.url} ({e}); start "
               "one (README of stanfordnlp/CoreNLP) and re-run")

@@ -70,7 +70,14 @@ def main() -> int:
 
     out = {"_corpus": "metric_corpus.json"}
     for name, scorer in scorers:
-        score, per_sentence = scorer.compute_score(gts, res)
+        try:
+            # SPICE/METEOR construct fine without Java and only shell out
+            # inside compute_score — a crash here must not discard the
+            # scores already recorded (this is a one-shot recording day)
+            score, per_sentence = scorer.compute_score(gts, res)
+        except Exception as e:
+            print(f"note: {name} compute_score failed ({e}) — skipped")
+            continue
         if isinstance(score, list):                # Bleu: 4 values
             for i, (s, ps) in enumerate(zip(score, per_sentence), 1):
                 out[f"BLEU_{i}"] = {"corpus": float(s),

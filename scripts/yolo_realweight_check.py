@@ -61,9 +61,14 @@ def record(args) -> int:
     # common directory and filtering by the raw --images strings drops
     # files (relative globs, multi-directory sets).  One LoadImages per
     # file has neither problem.
+    matches = {p: sorted(glob.glob(p)) for p in args.images}
+    empty = [p for p, m in matches.items() if not m]
+    assert not empty, (
+        f"--images patterns matched no files: {empty} (a shell-expanded "
+        "literal that got here unexpanded is a typo — refusing to record "
+        "a silently incomplete reference set)")
     paths = sorted({os.path.abspath(q)
-                    for p in args.images for q in glob.glob(p)})
-    assert paths, f"no images match {args.images}"
+                    for m in matches.values() for q in m})
 
     out = {"paths": np.asarray(paths),
            # the check side must run the SAME geometry/thresholds; embed
@@ -136,8 +141,14 @@ def check(args) -> int:
     rec = np.load(args.recorded, allow_pickle=False)
     paths = [str(p) for p in rec["paths"]]
     if args.images_root:             # recorded on another machine: rebase
-        paths = [os.path.join(args.images_root, os.path.basename(p))
-                 for p in paths]
+        bases = [os.path.basename(p) for p in paths]
+        dupes = sorted({b for b in bases if bases.count(b) > 1})
+        assert not dupes, (
+            f"--images-root rebases by basename, but the recording spans "
+            f"multiple directories with duplicate basenames {dupes} — "
+            "det_<i> box sets would pair with the wrong files.  Mirror "
+            "the recording's directory layout instead.")
+        paths = [os.path.join(args.images_root, b) for b in bases]
     if "record_args" in rec:         # run the recorded geometry/thresholds
         img_size = int(rec["record_args"][0])
         conf_thres, iou_thres = (float(rec["record_args"][1]),
