@@ -68,6 +68,7 @@ def cmd_evaluation(args) -> None:
     from .data.dataset import load_split
     from .data.vocab import invert_vocab
     from .metrics.evaluate import score_captions
+    from .parallel import mesh as pmesh
     from .train.checkpoint import CheckpointManager
     from .train.logging import write_scores
     from .train.loop import decode_split
@@ -88,9 +89,11 @@ def cmd_evaluation(args) -> None:
     assert epoch is not None, "no checkpoint found"
     state = ckpt.restore(epoch, template)
 
+    mesh = pmesh.make_mesh(data=cfg.train.data_axis,
+                           model=cfg.train.model_axis)
     candidates = decode_split(state.params, cfg, split,
                               cfg.train.batch_size, idx_to_word,
-                              beam_size=args.beam_size)
+                              beam_size=args.beam_size, mesh=mesh)
     save_pickle(candidates, os.path.join(
         d.output_path, "candidates",
         f"{args.split}.candidate.captions.pkl"))

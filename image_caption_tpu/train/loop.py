@@ -38,13 +38,33 @@ from .step import (compile_eval_step, compile_train_step,
 
 def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
                  idx_to_word: Dict[int, str], *, beam_size: Optional[int] = None,
-                 use_pallas: bool = True) -> List[str]:
+                 use_pallas: bool = True, mesh=None) -> List[str]:
     """Greedy/beam decode every image in a split -> list of caption strings
     indexed by image row (the ``{split}.candidate.captions.pkl`` contract,
-    main.py:172-184)."""
+    main.py:172-184).
+
+    With a ``mesh`` of >1 devices (single-process), batches shard over the
+    ``data`` axis and params replicate onto the mesh, so the per-epoch
+    valid decode and the evaluation CLI scale across the slice (decode is
+    batch-parallel — GSPMD partitions it with zero collectives).  The
+    Pallas attention kernel is bypassed on that path: a mosaic custom
+    call carries no SPMD partitioning rule, and decode-side the XLA
+    kernel is at parity anyway (docs/performance.md).  Multi-process runs
+    keep the replicated-redundant decode (every host decodes the split;
+    only the main process writes)."""
     from ..models.decoding import beam_score_mode, beam_search
+    place = None
+    if (mesh is not None and mesh.devices.size > 1
+            and jax.process_count() == 1
+            and batch_size % mesh.shape[pmesh.DATA_AXIS] == 0):
+        params = jax.device_put(params, pmesh.replicated(mesh))
+        dshard = pmesh.data_sharding(mesh)
+        place = lambda x: jax.device_put(x, dshard)  # noqa: E731
+        use_pallas = False
     out: List[Optional[str]] = [None] * split.num_images
     for feats, poss, idxs, real in ImageBatches(split, batch_size):
+        if place is not None:
+            feats, poss = place(feats), place(poss)
         if beam_size is None or beam_size <= 1:
             tokens, _ = greedy_decode(params, cfg.model, feats, poss,
                                       use_pallas=use_pallas)
@@ -478,7 +498,8 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
             writer.write_epoch(key, train_loss[key], valid_loss[key], epoch)
 
         candidates = decode_split(trainer.state.params, cfg, valid_split,
-                                  t.batch_size, idx_to_word)
+                                  t.batch_size, idx_to_word,
+                                  mesh=trainer.mesh)
         if is_main:
             cand_dir = os.path.join(d.output_path, "candidates")
             save_pickle(candidates, os.path.join(

@@ -66,6 +66,38 @@ def test_end_to_end_train_decode_score(cfg):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("beam_size", [None, 3])
+def test_decode_split_sharded_matches_single(cfg, beam_size):
+    """decode_split with an 8-device mesh (batch over `data`, params
+    replicated) must produce the same captions as the unsharded path —
+    decode is batch-parallel, so GSPMD sharding must be a pure layout
+    change."""
+    import jax
+    from image_caption_tpu.data.dataset import load_split
+    from image_caption_tpu.data.vocab import invert_vocab
+    from image_caption_tpu.models.captioner import init_captioner
+    from image_caption_tpu.parallel import mesh as pmesh
+    from image_caption_tpu.train.loop import decode_split
+
+    valid_split = load_split(cfg.data.data_path, "valid", verbose=False)
+    params = init_captioner(jax.random.PRNGKey(7), cfg.model)
+    # random-init params emit ids across the whole vocab range — cover it
+    vocab = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+    vocab.update({f"w{i}": i for i in range(4, cfg.model.num_vocab)})
+    idx_to_word = invert_vocab(vocab)
+
+    kw = dict(beam_size=beam_size, use_pallas=False)
+    single = decode_split(params, cfg, valid_split,
+                          cfg.train.batch_size, idx_to_word, **kw)
+    mesh = pmesh.make_mesh()                    # 8 virtual devices on data
+    assert mesh.devices.size == 8
+    sharded = decode_split(params, cfg, valid_split,
+                           cfg.train.batch_size, idx_to_word,
+                           mesh=mesh, **kw)
+    assert sharded == single
+
+
+@pytest.mark.slow
 def test_checkpoint_roundtrip(cfg):
     import jax
     from image_caption_tpu.train.checkpoint import CheckpointManager
