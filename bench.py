@@ -101,11 +101,12 @@ def _extract_inputs(batch):
     return s["params"], s["canvases"], s["metas"], s["sizes"]
 
 
-def _bench_extraction_config(metric, batch, **kwargs):
+def _bench_extraction_config(metric, batch, extract_fn=None, **kwargs):
     from image_caption_tpu.vision.pipeline import extract_features_batch
+    fn = extract_fn or extract_features_batch
     params, canvases, metas, sizes = _extract_inputs(batch)
-    dt = _median_time(lambda: extract_features_batch(
-        params, canvases, metas, sizes, **kwargs), warmup=2, iters=5)
+    dt = _median_time(lambda: fn(params, canvases, metas, sizes, **kwargs),
+                      warmup=2, iters=5)
     v = batch / dt
     return {"metric": metric,
             "value": round(v, 2), "unit": "images/sec/chip",
@@ -126,14 +127,9 @@ def bench_extraction_etl(batch=128):
 
 def _bench_roi_config(metric, batch, **kwargs):
     from image_caption_tpu.vision.pipeline import extract_features_roi
-    params, canvases, metas, sizes = _extract_inputs(batch)
-    dt = _median_time(lambda: extract_features_roi(
-        params, canvases, metas, sizes, max_obj=5, **kwargs),
-        warmup=2, iters=5)
-    v = batch / dt
-    return {"metric": metric,
-            "value": round(v, 2), "unit": "images/sec/chip",
-            "vs_baseline": round(v / EXTRACT_PER_CHIP_TARGET, 3)}
+    return _bench_extraction_config(metric, batch,
+                                    extract_fn=extract_features_roi,
+                                    **kwargs)
 
 
 def bench_extraction_roi(batch=128):
@@ -142,7 +138,7 @@ def bench_extraction_roi(batch=128):
     slot features instead of a ResNet forward per crop (docs/parity.md
     caveat applies)."""
     return _bench_roi_config("feature_extraction_throughput_roi", batch,
-                             detect_size=448)
+                             max_obj=5, detect_size=448)
 
 
 def bench_extraction_roi_fast(batch=128):
@@ -150,7 +146,8 @@ def bench_extraction_roi_fast(batch=128):
     (trunk 320 / detect 320, docs/performance.md roi table) — the config
     that clears the 625 img/s/chip north-star share on one chip."""
     return _bench_roi_config("feature_extraction_throughput_roi_fast",
-                             batch, trunk_size=320, detect_size=320)
+                             batch, max_obj=5, trunk_size=320,
+                             detect_size=320)
 
 
 def bench_xe_step(batch=32, scan_k=16):

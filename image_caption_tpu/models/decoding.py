@@ -395,8 +395,11 @@ def beam_score_mode(caption_model: str) -> str:
     on CAPTION_MODEL for parity.  Unknown model names fail loudly here
     rather than silently decoding in the wrong mode (the bug this mapping
     exists to prevent)."""
-    assert caption_model in ("Transformer", "RL_Transformer"), \
-        f"unknown CAPTION_MODEL {caption_model!r} (core/config.py:13-14)"
+    if caption_model not in ("Transformer", "RL_Transformer"):
+        # a raise, not an assert: asserts vanish under `python -O`, which
+        # would silently decode unknown models in prob mode
+        raise ValueError(
+            f"unknown CAPTION_MODEL {caption_model!r} (core/config.py:13-14)")
     return "logprob" if caption_model == "RL_Transformer" else "prob"
 
 

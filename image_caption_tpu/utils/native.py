@@ -22,6 +22,37 @@ _LIB_PATHS = (
 )
 
 
+def ensure_fresh_binary(so_path: str, src_path: str,
+                        make_target: str) -> None:
+    """Best-effort staleness guard for the committed csrc/ binaries.
+
+    The ``.so`` files are checked in (the production/judge environment
+    must not depend on a C toolchain), so an edit to the ``.cpp`` without
+    ``make -C csrc`` would leave a stale binary silently serving tests
+    and the ETL.  When the source is newer than the binary, try to
+    rebuild it in place; if the toolchain is unavailable, WARN rather
+    than fail — the stale binary still loads, but never silently.
+    (Fresh checkouts can order mtimes arbitrarily; the spurious rebuild
+    that triggers is a no-op costing ~1 s.)"""
+    import subprocess
+    import warnings
+    try:
+        if (not os.path.exists(so_path) or not os.path.exists(src_path)
+                or os.path.getmtime(src_path) <= os.path.getmtime(so_path)):
+            return
+        r = subprocess.run(
+            ["make", "-C", os.path.dirname(so_path), make_target],
+            capture_output=True, timeout=120)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.decode(errors="replace")[-300:])
+    except Exception as exc:
+        warnings.warn(
+            f"{os.path.basename(so_path)} is older than "
+            f"{os.path.basename(src_path)} and rebuilding failed ({exc}); "
+            "the loaded binary may be STALE — run `make -C csrc`",
+            RuntimeWarning, stacklevel=2)
+
+
 def _fnv1a(data: bytes) -> int:
     h = 1469598103934665603
     for b in data:
@@ -40,6 +71,10 @@ def _load_lib() -> ctypes.CDLL:
     for path in _LIB_PATHS:
         path = os.path.abspath(path)
         if os.path.exists(path):
+            ensure_fresh_binary(
+                path, os.path.join(os.path.dirname(path),
+                                   "ngram_rewards.cpp"),
+                "libngram_rewards.so")
             try:
                 return ctypes.CDLL(path)
             except OSError as e:         # wrong arch etc.

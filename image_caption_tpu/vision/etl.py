@@ -120,8 +120,15 @@ def extract_split_features(image_paths: Sequence[str], *,
     import jax.numpy as jnp
     from .pipeline import (extract_features_batch, extract_features_frcnn,
                            extract_features_roi, extract_features_sharded,
-                           load_extractor, load_frcnn_extractor)
+                           load_extractor, load_frcnn_extractor,
+                           validate_feature_mode)
 
+    # fail fast here too, not just in run_etl — a direct caller passing
+    # feature_mode='roi' with the FRCNN model would otherwise silently
+    # get FRCNN features (the frcnn branch below wins)
+    validate_feature_mode(feature_mode, image_model,
+                          roi_trunk_size=roi_trunk_size,
+                          roi_detect_size=roi_detect_size)
     frcnn = image_model == "FasterRCNN"
     canvas_size = 800 if frcnn else 640
     if extractor_params is None:
@@ -250,9 +257,26 @@ def extraction_fingerprint(image_paths: Sequence[str], kwargs: Dict) -> Dict:
     the shard manifest AND the final-artifact skip check in
     :func:`run_etl`, so a config/weights switch re-extracts even when a
     completed ``{split}.features.hkl`` exists."""
-    fp = {k: v for k, v in sorted(kwargs.items())
-          if k not in ("extractor_params", "mesh", "batch_size")
-          and isinstance(v, (int, float, str, bool, type(None)))}
+    fp = {}
+    for k, v in sorted(kwargs.items()):
+        if k in ("extractor_params", "mesh", "batch_size"):
+            continue
+        if isinstance(v, (int, float, str, bool, type(None))):
+            fp[k] = v
+        elif (isinstance(v, (tuple, list)) and all(
+                isinstance(e, (int, float, str, bool, type(None)))
+                for e in v)):
+            fp[k] = repr(list(v))
+        else:
+            # fail LOUD: silently dropping a feature-affecting kwarg
+            # (e.g. a dtype object) would let a resume mix shards
+            # extracted under different configs — the exact staleness
+            # this fingerprint exists to prevent
+            raise TypeError(
+                f"extraction kwarg {k}={v!r} ({type(v).__name__}) cannot "
+                "be fingerprinted; pass a plain int/float/str/bool/None "
+                "(or a flat tuple of those), or exempt it here if it is "
+                "provably result-invariant")
     fp["image_paths_sha1"] = hashlib.sha1(
         "\x00".join(map(str, image_paths)).encode()).hexdigest()
     params_fp = _params_digest(kwargs.get("extractor_params"))

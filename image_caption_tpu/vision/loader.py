@@ -40,7 +40,12 @@ def _native_lib():
     if os.environ.get("ICX_NATIVE_LOADER", "1") == "0":
         return None
     try:
-        lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+        from ..utils.native import ensure_fresh_binary
+        so = os.path.abspath(_LIB_PATH)
+        ensure_fresh_binary(so, os.path.join(os.path.dirname(so),
+                                             "image_loader.cpp"),
+                            "libimage_loader.so")
+        lib = ctypes.CDLL(so)
         lib.icx_load_letterboxed_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
@@ -56,7 +61,8 @@ def native_available() -> bool:
     return _native_lib() is not None
 
 
-def load_letterboxed(path: str, size: int = 640, rect: bool = False
+def load_letterboxed(path: str, size: int = 640, rect: bool = False,
+                     stride: int = 32
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode + letterbox one image on host (PIL backend).  Returns
     (canvas [S,S,3] uint8, meta, (h,w)); meta is [scale,top,left] for the
@@ -70,7 +76,7 @@ def load_letterboxed(path: str, size: int = 640, rect: bool = False
         w, h = im.size
         if rect:
             r, nh, nw, top, left, rect_h, rect_w = letterbox_params_rect(
-                h, w, size)
+                h, w, size, stride)
         else:
             r, nh, nw, top, left = letterbox_params(h, w, size)
         resized = im.resize((nw, nh), Image.BILINEAR)
@@ -103,7 +109,8 @@ def load_letterboxed_batch(paths: Sequence[str], size: int = 640, *,
     if lib is None or n == 0:
         mapper = io_pool.map if io_pool is not None else map
         loaded = list(mapper(
-            lambda p: load_letterboxed(p, size, rect=rect), paths))
+            lambda p: load_letterboxed(p, size, rect=rect, stride=stride),
+            paths))
         return (np.stack([c for c, _, _ in loaded]),
                 np.stack([m for _, m, _ in loaded]),
                 np.stack([z for _, _, z in loaded]))
@@ -127,7 +134,8 @@ def load_letterboxed_batch(paths: Sequence[str], size: int = 640, *,
         # PNG-heavy segment doesn't degrade to single-threaded decode
         mapper = io_pool.map if io_pool is not None else map
         for i, (c, m, z) in zip(failed, mapper(
-                lambda p: load_letterboxed(p, size, rect=rect),
+                lambda p: load_letterboxed(p, size, rect=rect,
+                                           stride=stride),
                 [paths[i] for i in failed])):
             canvases[i], sizes[i] = c, z
             metas[i, :m.shape[0]] = m
