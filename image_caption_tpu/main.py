@@ -1,4 +1,5 @@
-"""CLI: ``python -m image_caption_tpu.main {train,evaluation,demo,features}``.
+"""CLI: ``python -m image_caption_tpu.main
+{train,evaluation,demo,caption,features}``.
 
 The reference dispatches the same three verbs through google-fire with a
 module-level model built at import (``/root/reference/main.py:19-22,250-251``)
@@ -172,6 +173,58 @@ def cmd_demo(args) -> None:
     print(f"time: {time.time() - t0:.2f}s")
 
 
+def cmd_caption(args) -> None:
+    """Batch captioning (serving path): a directory (or explicit list) of
+    images -> one caption per image, streamed through the pipelined
+    load->extract->decode program (serve.py).  The reference's closest
+    equivalent is running ``demo`` per image, which reloads both backbone
+    checkpoints every call (main.py:193-247, core/preprocess.py:95)."""
+    import sys
+
+    import jax
+    from .data.vocab import invert_vocab
+    from .serve import caption_images, caption_images_to_jsonl, list_images
+    from .train.checkpoint import CheckpointManager
+    from .train.state import create_train_state
+    from .utils.io import load_pickle
+
+    cfg = _load_config(args)
+    d = cfg.data
+    paths = list(args.images or [])
+    if args.image_dir:
+        paths.extend(list_images(args.image_dir))
+    if not paths:
+        raise SystemExit("no images: pass --image-dir and/or --images")
+
+    word_to_idx = load_pickle(d.word_to_idx_path)
+    idx_to_word = invert_vocab(word_to_idx)
+
+    template = create_train_state(cfg, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(d.output_path, "model"))
+    epoch = args.epoch if args.epoch is not None else ckpt.latest_epoch()
+    assert epoch is not None, "no checkpoint found"
+    state = ckpt.restore(epoch, template)
+
+    t0 = time.time()
+    captions = caption_images(
+        cfg, paths, state.params, idx_to_word,
+        weights_dir=args.weights_dir, beam_size=args.beam_size,
+        batch_size=args.batch_size, max_obj=args.max_obj,
+        feature_mode=d.feature_mode,
+        progress=(lambda done, n: print(f"[caption] {done}/{n}",
+                                        file=sys.stderr))
+        if args.verbose else None)
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        for line in caption_images_to_jsonl(paths, captions):
+            print(line, file=out)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    print(f"[caption] {len(paths)} images in {time.time() - t0:.2f}s",
+          file=sys.stderr)
+
+
 def cmd_features(args) -> None:
     """features.py equivalent: offline COCO ETL -> reference-format shards."""
     from .vision.etl import run_etl
@@ -224,6 +277,21 @@ def build_parser() -> argparse.ArgumentParser:
     dm.add_argument("--max-obj", type=int, default=None)
     dm.add_argument("--weights-dir", default="./weights")
     dm.set_defaults(fn=cmd_demo)
+
+    c = sub.add_parser("caption")
+    c.add_argument("--image-dir", default=None,
+                   help="caption every image in this directory (sorted)")
+    c.add_argument("--images", nargs="+", default=None,
+                   help="explicit image paths (before --image-dir's)")
+    c.add_argument("--epoch", type=int, default=None)
+    c.add_argument("--beam-size", type=int, default=None)
+    c.add_argument("--batch-size", type=int, default=32)
+    c.add_argument("--max-obj", type=int, default=None)
+    c.add_argument("--weights-dir", default="./weights")
+    c.add_argument("--out", default=None,
+                   help="write JSONL here instead of stdout")
+    c.add_argument("--verbose", action="store_true")
+    c.set_defaults(fn=cmd_caption)
 
     f = sub.add_parser("features")
     f.add_argument("--coco-root", required=True)
