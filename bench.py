@@ -11,7 +11,8 @@ Metrics (all single-chip):
     (448/448) and fastest measured (320/320) quality points.
   * xe_train_steps_per_sec — flagship XE train step, batch 32 (the
     reference's solver shape, core/config.py:59-62), measured through
-    the train loop's scanned multi-step dispatch (train.scan_steps=16);
+    the train loop's scanned multi-step dispatch (train.scan_steps=32,
+    the measured dispatch-overhead asymptote — docs/performance.md);
     regression floor 5 steps/s (≈ measured r1 perf / 2 — a genuine
     slowdown trips it).
   * rl_train_steps_per_sec — flagship SCST step, batch 32 (two-phase on
@@ -150,7 +151,7 @@ def bench_extraction_roi_fast(batch=128):
                              detect_size=320)
 
 
-def bench_xe_step(batch=32, scan_k=16):
+def bench_xe_step(batch=32, scan_k=32):
     """The train loop's scanned dispatch (train.scan_steps): K updates
     per program — per-step dispatch overhead (a full ~30 ms RTT on this
     tunnel, ~ms on a real host) amortizes over K, so this measures the

@@ -88,7 +88,8 @@ def caption_images(cfg, image_paths: Sequence[str],
                                         np.ndarray, int]:
         paths = image_paths[start:start + batch_size]
         canvases, metas, sizes = load_letterboxed_batch(
-            paths, canvas_size, nthreads=num_workers, io_pool=io_pool)
+            paths, canvas_size, rect=d.rect_letterbox and not frcnn,
+            nthreads=num_workers, io_pool=io_pool)
         real = len(paths)
         if real < batch_size:          # static-shape pad
             reps = batch_size - real
