@@ -183,6 +183,7 @@ def cmd_caption(args) -> None:
 
     import jax
     from .data.vocab import invert_vocab
+    from .parallel import mesh as pmesh
     from .serve import caption_images, caption_images_to_jsonl, list_images
     from .train.checkpoint import CheckpointManager
     from .train.state import create_train_state
@@ -211,6 +212,8 @@ def cmd_caption(args) -> None:
         weights_dir=args.weights_dir, beam_size=args.beam_size,
         batch_size=args.batch_size, max_obj=args.max_obj,
         feature_mode=d.feature_mode,
+        mesh=pmesh.make_mesh(data=cfg.train.data_axis,
+                             model=cfg.train.model_axis),
         progress=(lambda done, n: print(f"[caption] {done}/{n}",
                                         file=sys.stderr))
         if args.verbose else None)

@@ -42,6 +42,7 @@ def caption_images(cfg, image_paths: Sequence[str],
                    feature_mode: str = "crop",
                    num_workers: int = 8,
                    use_pallas: bool = True,
+                   mesh=None,
                    progress: Optional[Callable[[int, int], None]] = None
                    ) -> List[str]:
     """Caption every image, streaming in ``batch_size`` chunks.
@@ -52,14 +53,28 @@ def caption_images(cfg, image_paths: Sequence[str],
     evaluation path.  ``feature_mode='roi'`` selects the shared-trunk fast
     extraction (docs/parity.md fidelity caveat: the captioner must have
     been TRAINED on roi features).
+
+    With a ``mesh`` of >1 devices (single-process, YOLO path,
+    ``batch_size`` divisible by the ``data`` axis), both the extraction
+    program and the decoder shard each batch over ``data`` with params
+    replicated — serving scales across the slice with zero collectives,
+    and the sharded features flow into the decoder without a host
+    round-trip.  The Pallas attention kernel is bypassed on that path
+    (mosaic custom calls carry no SPMD partitioning rule; XLA is at
+    decode parity — docs/performance.md).
     """
+    import functools
+
+    import jax
     import jax.numpy as jnp
     from .data.vocab import decode_captions
     from .models.decoding import beam_score_mode, beam_search, greedy_decode
     from .vision.loader import load_letterboxed_batch
+    from .parallel import mesh as pmesh
     from .vision.pipeline import (extract_features_batch,
                                   extract_features_frcnn,
-                                  extract_features_roi, load_extractor,
+                                  extract_features_roi,
+                                  extract_features_sharded, load_extractor,
                                   load_frcnn_extractor,
                                   validate_feature_mode)
 
@@ -77,6 +92,14 @@ def caption_images(cfg, image_paths: Sequence[str],
     m = cfg.model
     n = len(image_paths)
     captions: List[Optional[str]] = [None] * n
+
+    sharded = (mesh is not None and mesh.devices.size > 1 and not frcnn
+               and jax.process_count() == 1
+               and batch_size % mesh.shape[pmesh.DATA_AXIS] == 0)
+    if sharded:
+        captioner_params = jax.device_put(captioner_params,
+                                          pmesh.replicated(mesh))
+        use_pallas = False
 
     # same two-pool layout as the ETL: per-image decodes fan out on
     # io_pool; batch_pool's single thread runs load_batch itself (one
@@ -100,22 +123,23 @@ def caption_images(cfg, image_paths: Sequence[str],
         return canvases, metas, sizes, real
 
     def extract(canvases, metas, sizes):
+        kw = dict(num_objects=m.num_objects)
         if frcnn:
-            feats, poss, _ = extract_features_frcnn(
-                extractor_params, jnp.asarray(canvases), jnp.asarray(metas),
-                jnp.asarray(sizes), num_objects=m.num_objects,
-                canvas=canvas_size)
-        elif feature_mode == "roi":
-            feats, poss, _ = extract_features_roi(
-                extractor_params, jnp.asarray(canvases), jnp.asarray(metas),
-                jnp.asarray(sizes), num_objects=m.num_objects,
-                max_obj=max_obj, trunk_size=d.roi_trunk_size,
-                detect_size=d.roi_detect_size)
+            fn = extract_features_frcnn
+            kw["canvas"] = canvas_size
         else:
-            feats, poss, _ = extract_features_batch(
-                extractor_params, jnp.asarray(canvases), jnp.asarray(metas),
-                jnp.asarray(sizes), num_objects=m.num_objects,
-                max_obj=max_obj)
+            kw["max_obj"] = max_obj
+            if feature_mode == "roi":
+                fn = extract_features_roi
+                kw.update(trunk_size=d.roi_trunk_size,
+                          detect_size=d.roi_detect_size)
+            else:
+                fn = extract_features_batch
+            if sharded:
+                fn = functools.partial(extract_features_sharded, mesh,
+                                       feature_mode=feature_mode)
+        feats, poss, _ = fn(extractor_params, jnp.asarray(canvases),
+                            jnp.asarray(metas), jnp.asarray(sizes), **kw)
         # the captioner consumes the model's position width (84 YOLO /
         # 95 FRCNN); extraction emits exactly that for the matching model
         return (feats.astype(jnp.float32),

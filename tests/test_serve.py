@@ -82,6 +82,22 @@ def test_caption_images_beam_and_progress(tiny_cfg, tiny_setup):
     assert seen == [(3, 5), (5, 5)]
 
 
+def test_caption_images_sharded_matches_single(tiny_cfg, tiny_setup):
+    """8-device mesh serving (extraction + decode sharded over `data`,
+    params replicated) must produce exactly the single-device captions —
+    GSPMD sharding is a pure layout change."""
+    from image_caption_tpu.parallel import mesh as pmesh
+    paths, extractor, captioner, idx_to_word = tiny_setup
+    kw = dict(extractor_params=extractor, use_pallas=False, num_workers=2,
+              batch_size=8, beam_size=2)   # 5 images pad to one batch of 8
+    single = caption_images(tiny_cfg, paths, captioner, idx_to_word, **kw)
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 8
+    sharded = caption_images(tiny_cfg, paths, captioner, idx_to_word,
+                             mesh=mesh, **kw)
+    assert sharded == single
+
+
 def test_list_images_sorted_and_filtered(tmp_path):
     for name in ("b.jpg", "a.PNG", "c.txt", "d.jpeg"):
         (tmp_path / name).write_bytes(b"x")
