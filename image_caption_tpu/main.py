@@ -211,7 +211,7 @@ def cmd_caption(args) -> None:
         cfg, paths, state.params, idx_to_word,
         weights_dir=args.weights_dir, beam_size=args.beam_size,
         batch_size=args.batch_size, max_obj=args.max_obj,
-        feature_mode=d.feature_mode,
+        feature_mode=d.feature_mode, skip_errors=args.skip_errors,
         mesh=pmesh.make_mesh(data=cfg.train.data_axis,
                              model=cfg.train.model_axis),
         progress=(lambda done, n: print(f"[caption] {done}/{n}",
@@ -293,6 +293,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--weights-dir", default="./weights")
     c.add_argument("--out", default=None,
                    help="write JSONL here instead of stdout")
+    c.add_argument("--skip-errors", action="store_true",
+                   help="unreadable images emit an error record instead "
+                        "of failing the run")
     c.add_argument("--verbose", action="store_true")
     c.set_defaults(fn=cmd_caption)
 

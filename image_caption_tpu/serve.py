@@ -43,8 +43,9 @@ def caption_images(cfg, image_paths: Sequence[str],
                    num_workers: int = 8,
                    use_pallas: bool = True,
                    mesh=None,
+                   skip_errors: bool = False,
                    progress: Optional[Callable[[int, int], None]] = None
-                   ) -> List[str]:
+                   ) -> List[Optional[str]]:
     """Caption every image, streaming in ``batch_size`` chunks.
 
     Returns captions aligned with ``image_paths``.  ``beam_size`` None/1 =
@@ -62,6 +63,12 @@ def caption_images(cfg, image_paths: Sequence[str],
     round-trip.  The Pallas attention kernel is bypassed on that path
     (mosaic custom calls carry no SPMD partitioning rule; XLA is at
     decode parity — docs/performance.md).
+
+    ``skip_errors=True``: an unreadable/corrupt image doesn't fail the
+    run — its slot decodes against a gray canvas and returns ``None``
+    (the caller sees exactly which inputs failed).  Default is
+    fail-loud, NOT the reference's silent ``except: continue``
+    (detect_for_preprocess.py:116-124).
     """
     import functools
 
@@ -107,12 +114,39 @@ def caption_images(cfg, image_paths: Sequence[str],
     io_pool = ThreadPoolExecutor(max(1, num_workers))
     batch_pool = ThreadPoolExecutor(1)
 
+    def load_one_guarded(path: str):
+        """Per-image load for skip_errors mode: failures become a gray
+        canvas (captioned, then discarded) instead of failing the run."""
+        from .vision.loader import load_letterboxed
+        try:
+            return load_letterboxed(path, canvas_size,
+                                    rect=d.rect_letterbox and not frcnn), \
+                True
+        except Exception:
+            meta_dim = 5 if d.rect_letterbox and not frcnn else 3
+            meta = np.zeros((meta_dim,), np.float32)
+            meta[0] = 1.0
+            if meta_dim == 5:
+                meta[3:] = canvas_size
+            return (np.full((canvas_size, canvas_size, 3), 114, np.uint8),
+                    meta,
+                    np.asarray([canvas_size, canvas_size], np.float32)), \
+                False
+
     def load_batch(start: int) -> Tuple[np.ndarray, np.ndarray,
-                                        np.ndarray, int]:
+                                        np.ndarray, int, List[int]]:
         paths = image_paths[start:start + batch_size]
-        canvases, metas, sizes = load_letterboxed_batch(
-            paths, canvas_size, rect=d.rect_letterbox and not frcnn,
-            nthreads=num_workers, io_pool=io_pool)
+        failed: List[int] = []
+        if skip_errors:
+            loaded = list(io_pool.map(load_one_guarded, paths))
+            failed = [j for j, (_, ok) in enumerate(loaded) if not ok]
+            canvases = np.stack([c for (c, _, _), _ in loaded])
+            metas = np.stack([m for (_, m, _), _ in loaded])
+            sizes = np.stack([z for (_, _, z), _ in loaded])
+        else:
+            canvases, metas, sizes = load_letterboxed_batch(
+                paths, canvas_size, rect=d.rect_letterbox and not frcnn,
+                nthreads=num_workers, io_pool=io_pool)
         real = len(paths)
         if real < batch_size:          # static-shape pad
             reps = batch_size - real
@@ -120,7 +154,7 @@ def caption_images(cfg, image_paths: Sequence[str],
                 [canvases, np.repeat(canvases[:1], reps, 0)])
             metas = np.concatenate([metas, np.repeat(metas[:1], reps, 0)])
             sizes = np.concatenate([sizes, np.repeat(sizes[:1], reps, 0)])
-        return canvases, metas, sizes, real
+        return canvases, metas, sizes, real, failed
 
     def extract(canvases, metas, sizes):
         kw = dict(num_objects=m.num_objects)
@@ -162,25 +196,33 @@ def caption_images(cfg, image_paths: Sequence[str],
         next_fut = batch_pool.submit(load_batch, starts[0]) if starts \
             else None
         for i, start in enumerate(starts):
-            canvases, metas, sizes, real = next_fut.result()
+            canvases, metas, sizes, real, failed = next_fut.result()
             if i + 1 < len(starts):     # host loads k+1 while device runs k
                 next_fut = batch_pool.submit(load_batch, starts[i + 1])
             tokens = decode(*extract(canvases, metas, sizes))
-            for j, cap in enumerate(
-                    decode_captions(tokens[:real], idx_to_word)):
+            batch_caps = decode_captions(tokens[:real], idx_to_word)
+            for j in failed:
+                batch_caps[j] = None
+            for j, cap in enumerate(batch_caps):
                 captions[start + j] = cap
             if progress is not None:
                 progress(start + real, n)
     finally:
         batch_pool.shutdown()
         io_pool.shutdown()
-    assert all(c is not None for c in captions)
-    return captions   # type: ignore[return-value]
+    assert skip_errors or all(c is not None for c in captions)
+    return captions
 
 
-def caption_images_to_jsonl(paths: Sequence[str], captions: Sequence[str]
+def caption_images_to_jsonl(paths: Sequence[str],
+                            captions: Sequence[Optional[str]]
                             ) -> Iterator[str]:
-    """One JSON object per image, aligned with the input order."""
+    """One JSON object per image, aligned with the input order.  A
+    ``None`` caption (a skipped unreadable image) becomes an ``error``
+    record."""
     import json
     for p, c in zip(paths, captions):
-        yield json.dumps({"image": p, "caption": c})
+        if c is None:
+            yield json.dumps({"image": p, "error": "unreadable image"})
+        else:
+            yield json.dumps({"image": p, "caption": c})

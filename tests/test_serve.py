@@ -98,6 +98,32 @@ def test_caption_images_sharded_matches_single(tiny_cfg, tiny_setup):
     assert sharded == single
 
 
+def test_caption_images_skip_errors(tiny_cfg, tiny_setup, tmp_path):
+    """skip_errors: a corrupt file yields None (an error JSONL record)
+    without failing the run or disturbing its neighbors' captions; the
+    default mode fails loud."""
+    from image_caption_tpu.serve import caption_images_to_jsonl
+    paths, extractor, captioner, idx_to_word = tiny_setup
+    bad = str(tmp_path / "corrupt.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg at all")
+    mixed = [paths[0], bad, paths[1]]
+    kw = dict(extractor_params=extractor, use_pallas=False, num_workers=2,
+              batch_size=3)
+    with pytest.raises(Exception):
+        caption_images(tiny_cfg, mixed, captioner, idx_to_word, **kw)
+    caps = caption_images(tiny_cfg, mixed, captioner, idx_to_word,
+                          skip_errors=True, **kw)
+    clean = caption_images(tiny_cfg, [paths[0], paths[1]], captioner,
+                           idx_to_word, batch_size=2, **{
+                               k: v for k, v in kw.items()
+                               if k != "batch_size"})
+    assert caps[1] is None
+    assert [caps[0], caps[2]] == clean
+    lines = list(caption_images_to_jsonl(mixed, caps))
+    assert "error" in lines[1] and "caption" in lines[0]
+
+
 def test_list_images_sorted_and_filtered(tmp_path):
     for name in ("b.jpg", "a.PNG", "c.txt", "d.jpeg"):
         (tmp_path / name).write_bytes(b"x")
