@@ -114,35 +114,15 @@ def caption_images(cfg, image_paths: Sequence[str],
     io_pool = ThreadPoolExecutor(max(1, num_workers))
     batch_pool = ThreadPoolExecutor(1)
 
-    def load_one_guarded(path: str):
-        """Per-image load for skip_errors mode: failures become a gray
-        canvas (captioned, then discarded) instead of failing the run."""
-        from .vision.loader import load_letterboxed
-        try:
-            return load_letterboxed(path, canvas_size,
-                                    rect=d.rect_letterbox and not frcnn), \
-                True
-        except Exception:
-            meta_dim = 5 if d.rect_letterbox and not frcnn else 3
-            meta = np.zeros((meta_dim,), np.float32)
-            meta[0] = 1.0
-            if meta_dim == 5:
-                meta[3:] = canvas_size
-            return (np.full((canvas_size, canvas_size, 3), 114, np.uint8),
-                    meta,
-                    np.asarray([canvas_size, canvas_size], np.float32)), \
-                False
-
     def load_batch(start: int) -> Tuple[np.ndarray, np.ndarray,
                                         np.ndarray, int, List[int]]:
         paths = image_paths[start:start + batch_size]
         failed: List[int] = []
         if skip_errors:
-            loaded = list(io_pool.map(load_one_guarded, paths))
-            failed = [j for j, (_, ok) in enumerate(loaded) if not ok]
-            canvases = np.stack([c for (c, _, _), _ in loaded])
-            metas = np.stack([m for (_, m, _), _ in loaded])
-            sizes = np.stack([z for (_, _, z), _ in loaded])
+            canvases, metas, sizes, ok = load_letterboxed_batch(
+                paths, canvas_size, rect=d.rect_letterbox and not frcnn,
+                nthreads=num_workers, io_pool=io_pool, return_ok=True)
+            failed = np.nonzero(~ok)[0].tolist()
         else:
             canvases, metas, sizes = load_letterboxed_batch(
                 paths, canvas_size, rect=d.rect_letterbox and not frcnn,

@@ -94,26 +94,47 @@ def load_letterboxed(path: str, size: int = 640, rect: bool = False,
 def load_letterboxed_batch(paths: Sequence[str], size: int = 640, *,
                            rect: bool = False, stride: int = 32,
                            nthreads: Optional[int] = None,
-                           io_pool=None
-                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                           io_pool=None, return_ok: bool = False):
     """Batch decode + letterbox -> (canvases [N,S,S,3] u8,
-    metas [N, 3|5] f32, sizes [N,2] f32).
+    metas [N, 3|5] f32, sizes [N,2] f32[, ok [N] bool]).
 
     Native backend when built (``nthreads`` C++ threads, defaults to
     ``os.cpu_count()``); per-image PIL fallback for anything it rejects.
     Without the native library the whole batch maps over ``io_pool``
-    (or serially) through :func:`load_letterboxed`."""
+    (or serially) through :func:`load_letterboxed`.
+
+    ``return_ok=True`` isolates per-image failures instead of raising:
+    an unreadable image yields a gray fill canvas, identity meta, and
+    ``ok=False`` — the serving path's ``skip_errors`` contract.  With
+    ``return_ok=False`` (default) any unreadable image raises."""
     n = len(paths)
     meta_dim = 5 if rect else 3
     lib = _native_lib()
+
+    def blank():
+        meta = np.zeros((meta_dim,), np.float32)
+        meta[0] = 1.0
+        if rect:
+            meta[3:] = size
+        return (np.full((size, size, 3), 114, np.uint8), meta,
+                np.asarray([size, size], np.float32))
+
+    def load_pil(p):
+        try:
+            return load_letterboxed(p, size, rect=rect, stride=stride), True
+        except Exception:
+            if not return_ok:
+                raise
+            return blank(), False
+
     if lib is None or n == 0:
         mapper = io_pool.map if io_pool is not None else map
-        loaded = list(mapper(
-            lambda p: load_letterboxed(p, size, rect=rect, stride=stride),
-            paths))
-        return (np.stack([c for c, _, _ in loaded]),
-                np.stack([m for _, m, _ in loaded]),
-                np.stack([z for _, _, z in loaded]))
+        loaded = list(mapper(load_pil, paths))
+        out = (np.stack([c for (c, _, _), _ in loaded]),
+               np.stack([m for (_, m, _), _ in loaded]),
+               np.stack([z for (_, _, z), _ in loaded]))
+        return out + (np.asarray([k for _, k in loaded]),) if return_ok \
+            else out
 
     canvases = np.zeros((n, size, size, 3), np.uint8)
     metas = np.zeros((n, 5), np.float32)
@@ -128,15 +149,17 @@ def load_letterboxed_batch(paths: Sequence[str], size: int = 640, *,
         sizes.ctypes.data_as(ctypes.c_void_p),
         ok.ctypes.data_as(ctypes.c_void_p))
     failed = np.nonzero(ok == 0)[0]
+    good = np.ones((n,), bool)
     if failed.size:
         # PIL fallback for images the native decoder rejects (non-JPEG,
         # truncated, CMYK) — pooled when a pool is available, so a
         # PNG-heavy segment doesn't degrade to single-threaded decode
         mapper = io_pool.map if io_pool is not None else map
-        for i, (c, m, z) in zip(failed, mapper(
-                lambda p: load_letterboxed(p, size, rect=rect,
-                                           stride=stride),
-                [paths[i] for i in failed])):
+        for i, ((c, m, z), k) in zip(failed, mapper(
+                load_pil, [paths[i] for i in failed])):
             canvases[i], sizes[i] = c, z
             metas[i, :m.shape[0]] = m
+            good[i] = k
+    if return_ok:
+        return canvases, metas[:, :meta_dim], sizes, good
     return canvases, metas[:, :meta_dim], sizes

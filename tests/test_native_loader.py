@@ -118,6 +118,32 @@ def test_env_kill_switch(jpeg_dir, monkeypatch):
     monkeypatch.setattr(loader, "_lib", None)
 
 
+@pytest.mark.parametrize("native", [True, False])
+def test_return_ok_isolates_unreadable_images(jpeg_dir, tmp_path,
+                                              monkeypatch, native):
+    """return_ok=True: corrupt files yield ok=False + a gray canvas on
+    BOTH backends; good rows are untouched.  Default mode raises."""
+    if not native:
+        monkeypatch.setenv("ICX_NATIVE_LOADER", "0")
+        monkeypatch.setattr(loader, "_lib_checked", False)
+        monkeypatch.setattr(loader, "_lib", None)
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"definitely not an image")
+    paths = [jpeg_dir[0], bad, jpeg_dir[1]]
+    canv, metas, sizes, ok = loader.load_letterboxed_batch(
+        paths, 320, return_ok=True)
+    np.testing.assert_array_equal(ok, [True, False, True])
+    assert (canv[1] == 114).all() and metas[1, 0] == 1.0
+    ref, mref, zref = loader.load_letterboxed(jpeg_dir[0], 320)
+    np.testing.assert_array_equal(canv[0], ref)
+    with pytest.raises(Exception):
+        loader.load_letterboxed_batch(paths, 320)
+    if not native:
+        monkeypatch.setattr(loader, "_lib_checked", False)
+        monkeypatch.setattr(loader, "_lib", None)
+
+
 def test_etl_uses_batch_loader(tmp_path, monkeypatch):
     """extract_split_features consumes the batch loader output; a tiny
     fake-extract run over real JPEGs must see correctly letterboxed
