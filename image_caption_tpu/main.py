@@ -87,7 +87,8 @@ def cmd_evaluation(args) -> None:
     template = create_train_state(cfg, jax.random.PRNGKey(0))
     ckpt = CheckpointManager(os.path.join(d.output_path, "model"))
     epoch = args.epoch if args.epoch is not None else ckpt.latest_epoch()
-    assert epoch is not None, "no checkpoint found"
+    if epoch is None:                  # raise, not assert: must survive -O
+        raise SystemExit(f"no checkpoint found under {d.output_path}/model")
     state = ckpt.restore(epoch, template)
 
     mesh = pmesh.make_mesh(data=cfg.train.data_axis,
@@ -134,7 +135,8 @@ def cmd_demo(args) -> None:
     template = create_train_state(cfg, jax.random.PRNGKey(0))
     ckpt = CheckpointManager(os.path.join(d.output_path, "model"))
     epoch = args.epoch if args.epoch is not None else ckpt.latest_epoch()
-    assert epoch is not None, "no checkpoint found"
+    if epoch is None:                  # raise, not assert: must survive -O
+        raise SystemExit(f"no checkpoint found under {d.output_path}/model")
     state = ckpt.restore(epoch, template)
 
     feats_b = feats[None].astype(np.float32)
@@ -203,24 +205,33 @@ def cmd_caption(args) -> None:
     template = create_train_state(cfg, jax.random.PRNGKey(0))
     ckpt = CheckpointManager(os.path.join(d.output_path, "model"))
     epoch = args.epoch if args.epoch is not None else ckpt.latest_epoch()
-    assert epoch is not None, "no checkpoint found"
+    if epoch is None:                  # raise, not assert: must survive -O
+        raise SystemExit(f"no checkpoint found under {d.output_path}/model")
     state = ckpt.restore(epoch, template)
 
-    t0 = time.time()
-    captions = caption_images(
-        cfg, paths, state.params, idx_to_word,
-        weights_dir=args.weights_dir, beam_size=args.beam_size,
-        batch_size=args.batch_size, max_obj=args.max_obj,
-        feature_mode=d.feature_mode, skip_errors=args.skip_errors,
-        mesh=pmesh.make_mesh(data=cfg.train.data_axis,
-                             model=cfg.train.model_axis),
-        progress=(lambda done, n: print(f"[caption] {done}/{n}",
-                                        file=sys.stderr))
-        if args.verbose else None)
+    # open the sink BEFORE hours of captioning, and stream per batch —
+    # an unwritable --out must fail fast, not discard the whole run
     out = open(args.out, "w") if args.out else sys.stdout
+
+    def write_batch(start: int, batch_caps) -> None:
+        batch_paths = paths[start:start + len(batch_caps)]
+        for line in caption_images_to_jsonl(batch_paths, batch_caps):
+            print(line, file=out, flush=bool(args.out))
+
+    t0 = time.time()
     try:
-        for line in caption_images_to_jsonl(paths, captions):
-            print(line, file=out)
+        caption_images(
+            cfg, paths, state.params, idx_to_word,
+            weights_dir=args.weights_dir, beam_size=args.beam_size,
+            batch_size=args.batch_size,
+            max_obj=args.max_obj if args.max_obj is not None else d.max_obj,
+            feature_mode=d.feature_mode, skip_errors=args.skip_errors,
+            mesh=pmesh.make_mesh(data=cfg.train.data_axis,
+                                 model=cfg.train.model_axis),
+            on_batch=write_batch,
+            progress=(lambda done, n: print(f"[caption] {done}/{n}",
+                                            file=sys.stderr))
+            if args.verbose else None)
     finally:
         if out is not sys.stdout:
             out.close()
@@ -289,7 +300,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--epoch", type=int, default=None)
     c.add_argument("--beam-size", type=int, default=None)
     c.add_argument("--batch-size", type=int, default=32)
-    c.add_argument("--max-obj", type=int, default=None)
+    c.add_argument("--max-obj", type=int, default=None,
+                   help="defaults to data.max_obj so serving extracts the "
+                        "same feature layout the training ETL wrote")
     c.add_argument("--weights-dir", default="./weights")
     c.add_argument("--out", default=None,
                    help="write JSONL here instead of stdout")

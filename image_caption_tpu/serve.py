@@ -16,8 +16,7 @@ compiled program.
 from __future__ import annotations
 
 import os
-from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -44,6 +43,8 @@ def caption_images(cfg, image_paths: Sequence[str],
                    use_pallas: bool = True,
                    mesh=None,
                    skip_errors: bool = False,
+                   on_batch: Optional[Callable[[int, List[Optional[str]]],
+                                               None]] = None,
                    progress: Optional[Callable[[int, int], None]] = None
                    ) -> List[Optional[str]]:
     """Caption every image, streaming in ``batch_size`` chunks.
@@ -70,32 +71,15 @@ def caption_images(cfg, image_paths: Sequence[str],
     fail-loud, NOT the reference's silent ``except: continue``
     (detect_for_preprocess.py:116-124).
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
     from .data.vocab import decode_captions
     from .models.decoding import beam_score_mode, beam_search, greedy_decode
-    from .vision.loader import load_letterboxed_batch
     from .parallel import mesh as pmesh
-    from .vision.pipeline import (extract_features_batch,
-                                  extract_features_frcnn,
-                                  extract_features_roi,
-                                  extract_features_sharded, load_extractor,
-                                  load_frcnn_extractor,
-                                  validate_feature_mode)
+    from .vision.etl import stream_extracted_batches
 
     d = cfg.data
-    image_model = d.image_model
-    validate_feature_mode(feature_mode, image_model,
-                          roi_trunk_size=d.roi_trunk_size,
-                          roi_detect_size=d.roi_detect_size)
-    frcnn = image_model == "FasterRCNN"
-    canvas_size = 800 if frcnn else 640
-    if extractor_params is None:
-        extractor_params = (load_frcnn_extractor(weights_dir) if frcnn
-                            else load_extractor(weights_dir))
-
+    frcnn = d.image_model == "FasterRCNN"
     m = cfg.model
     n = len(image_paths)
     captions: List[Optional[str]] = [None] * n
@@ -108,58 +92,11 @@ def caption_images(cfg, image_paths: Sequence[str],
                                           pmesh.replicated(mesh))
         use_pallas = False
 
-    # same two-pool layout as the ETL: per-image decodes fan out on
-    # io_pool; batch_pool's single thread runs load_batch itself (one
-    # shared pool deadlocks at num_workers=1)
-    io_pool = ThreadPoolExecutor(max(1, num_workers))
-    batch_pool = ThreadPoolExecutor(1)
-
-    def load_batch(start: int) -> Tuple[np.ndarray, np.ndarray,
-                                        np.ndarray, int, List[int]]:
-        paths = image_paths[start:start + batch_size]
-        failed: List[int] = []
-        if skip_errors:
-            canvases, metas, sizes, ok = load_letterboxed_batch(
-                paths, canvas_size, rect=d.rect_letterbox and not frcnn,
-                nthreads=num_workers, io_pool=io_pool, return_ok=True)
-            failed = np.nonzero(~ok)[0].tolist()
-        else:
-            canvases, metas, sizes = load_letterboxed_batch(
-                paths, canvas_size, rect=d.rect_letterbox and not frcnn,
-                nthreads=num_workers, io_pool=io_pool)
-        real = len(paths)
-        if real < batch_size:          # static-shape pad
-            reps = batch_size - real
-            canvases = np.concatenate(
-                [canvases, np.repeat(canvases[:1], reps, 0)])
-            metas = np.concatenate([metas, np.repeat(metas[:1], reps, 0)])
-            sizes = np.concatenate([sizes, np.repeat(sizes[:1], reps, 0)])
-        return canvases, metas, sizes, real, failed
-
-    def extract(canvases, metas, sizes):
-        kw = dict(num_objects=m.num_objects)
-        if frcnn:
-            fn = extract_features_frcnn
-            kw["canvas"] = canvas_size
-        else:
-            kw["max_obj"] = max_obj
-            if feature_mode == "roi":
-                fn = extract_features_roi
-                kw.update(trunk_size=d.roi_trunk_size,
-                          detect_size=d.roi_detect_size)
-            else:
-                fn = extract_features_batch
-            if sharded:
-                fn = functools.partial(extract_features_sharded, mesh,
-                                       feature_mode=feature_mode)
-        feats, poss, _ = fn(extractor_params, jnp.asarray(canvases),
-                            jnp.asarray(metas), jnp.asarray(sizes), **kw)
+    def decode(feats, poss) -> np.ndarray:
         # the captioner consumes the model's position width (84 YOLO /
         # 95 FRCNN); extraction emits exactly that for the matching model
-        return (feats.astype(jnp.float32),
-                poss[:, :, :m.dim_positions].astype(jnp.float32))
-
-    def decode(feats, poss) -> np.ndarray:
+        feats = feats.astype(jnp.float32)
+        poss = poss[:, :, :m.dim_positions].astype(jnp.float32)
         if beam_size is None or beam_size <= 1:
             tokens, _ = greedy_decode(captioner_params, m, feats, poss,
                                       use_pallas=use_pallas)
@@ -171,25 +108,27 @@ def caption_images(cfg, image_paths: Sequence[str],
                                  use_pallas=use_pallas)
         return np.asarray(tokens)
 
-    starts = list(range(0, n, batch_size))
-    try:
-        next_fut = batch_pool.submit(load_batch, starts[0]) if starts \
-            else None
-        for i, start in enumerate(starts):
-            canvases, metas, sizes, real, failed = next_fut.result()
-            if i + 1 < len(starts):     # host loads k+1 while device runs k
-                next_fut = batch_pool.submit(load_batch, starts[i + 1])
-            tokens = decode(*extract(canvases, metas, sizes))
-            batch_caps = decode_captions(tokens[:real], idx_to_word)
-            for j in failed:
-                batch_caps[j] = None
-            for j, cap in enumerate(batch_caps):
-                captions[start + j] = cap
-            if progress is not None:
-                progress(start + real, n)
-    finally:
-        batch_pool.shutdown()
-        io_pool.shutdown()
+    # the sharded features flow straight from the extraction program into
+    # the decoder — no host round-trip between the two device programs
+    stream = stream_extracted_batches(
+        image_paths, extractor_params=extractor_params,
+        weights_dir=weights_dir, num_objects=m.num_objects,
+        max_obj=max_obj, batch_size=batch_size, num_workers=num_workers,
+        image_model=d.image_model, rect_letterbox=d.rect_letterbox,
+        feature_mode=feature_mode, roi_trunk_size=d.roi_trunk_size,
+        roi_detect_size=d.roi_detect_size,
+        mesh=mesh if sharded else None, skip_errors=skip_errors)
+    for start, real, failed, feats, poss in stream:
+        batch_caps = decode_captions(decode(feats, poss)[:real],
+                                     idx_to_word)
+        for j in failed:
+            batch_caps[j] = None
+        for j, cap in enumerate(batch_caps):
+            captions[start + j] = cap
+        if on_batch is not None:       # stream results out per batch
+            on_batch(start, batch_caps)
+        if progress is not None:
+            progress(start + real, n)
     assert skip_errors or all(c is not None for c in captions)
     return captions
 

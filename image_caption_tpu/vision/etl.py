@@ -94,28 +94,36 @@ def build_references(records: Sequence[Dict]) -> Dict[int, List[str]]:
 
 
 
-def extract_split_features(image_paths: Sequence[str], *,
-                           extractor_params=None,
-                           weights_dir: Optional[str] = None,
-                           num_objects: int = 36,
-                           max_obj: Optional[int] = None,
-                           batch_size: int = 128,
-                           num_workers: int = 8,
-                           num_position_dims: int = 84,
-                           image_model: str = "YOLOv5",
-                           rect_letterbox: bool = False,
-                           feature_mode: str = "crop",
-                           roi_trunk_size: int = 448,
-                           roi_detect_size: Optional[int] = 448,
-                           verbose: bool = True,
-                           mesh=None
-                           ) -> Tuple[np.ndarray, np.ndarray]:
-    """All images of a split -> ([N, S, 2048], [N, S, P]) arrays.
+def stream_extracted_batches(image_paths: Sequence[str], *,
+                             extractor_params=None,
+                             weights_dir: Optional[str] = None,
+                             num_objects: int = 36,
+                             max_obj: Optional[int] = None,
+                             batch_size: int = 128,
+                             num_workers: int = 8,
+                             image_model: str = "YOLOv5",
+                             rect_letterbox: bool = False,
+                             feature_mode: str = "crop",
+                             roi_trunk_size: int = 448,
+                             roi_detect_size: Optional[int] = 448,
+                             mesh=None,
+                             skip_errors: bool = False):
+    """The shared host->device extraction pipeline: yields
+    ``(start, real, failed, feats, poss)`` per ``batch_size`` chunk.
 
-    ``mesh``: a ``jax.sharding.Mesh`` to data-parallelize the device
-    program over (batch_size must divide its ``data`` axis); None runs
-    single-device.  ``feature_mode``: 'crop' (reference recipe) or 'roi'
-    (shared-trunk fast mode, YOLO path only — see docs/parity.md)."""
+    Host threads decode + letterbox batch k+1 while the device extracts
+    batch k (the reference serializes everything per IMAGE —
+    features.py:87-119 with per-item preprocess); the final ragged batch
+    pads to the static shape with benign repeated rows (``real`` rows are
+    valid).  ``feats``/``poss`` are device arrays not yet fetched — the
+    consumer chooses when to sync (the offline ETL drains one batch
+    behind the device; serving feeds them straight into the decoder).
+
+    ``mesh``: data-parallelize the device program (batch_size must divide
+    the ``data`` axis).  ``skip_errors``: unreadable images yield a gray
+    canvas and their batch-relative indices in ``failed`` instead of
+    raising (the serving contract; the ETL keeps the fail-loud default).
+    """
     import functools
     import jax.numpy as jnp
     from .pipeline import (extract_features_batch, extract_features_frcnn,
@@ -135,16 +143,11 @@ def extract_split_features(image_paths: Sequence[str], *,
         extractor_params = (load_frcnn_extractor(weights_dir) if frcnn
                             else load_extractor(weights_dir))
 
-    n = len(image_paths)
-    s = num_objects + 1
-    all_feats = np.zeros((n, s, 2048), np.float32)
-    all_pos = np.zeros((n, s, num_position_dims), np.float32)
-
     # two pools: per-image decodes fan out on io_pool, while batch_pool's
     # single thread runs load_batch itself — submitting load_batch to the
     # SAME pool it maps over deadlocks at num_workers=1 (the lone worker
     # would wait on map tasks that can never be scheduled)
-    io_pool = ThreadPoolExecutor(num_workers)
+    io_pool = ThreadPoolExecutor(max(1, num_workers))
     batch_pool = ThreadPoolExecutor(1)
 
     def load_batch(start):
@@ -152,9 +155,16 @@ def extract_split_features(image_paths: Sequence[str], *,
         # native C++ decode+letterbox when built (bit-identical to the
         # PIL path — tests/test_native_loader.py), PIL thread pool
         # otherwise
-        canvases, metas, sizes = load_letterboxed_batch(
-            paths, canvas_size, rect=rect_letterbox and not frcnn,
-            nthreads=num_workers, io_pool=io_pool)
+        failed: List[int] = []
+        if skip_errors:
+            canvases, metas, sizes, ok = load_letterboxed_batch(
+                paths, canvas_size, rect=rect_letterbox and not frcnn,
+                nthreads=num_workers, io_pool=io_pool, return_ok=True)
+            failed = np.nonzero(~ok)[0].tolist()
+        else:
+            canvases, metas, sizes = load_letterboxed_batch(
+                paths, canvas_size, rect=rect_letterbox and not frcnn,
+                nthreads=num_workers, io_pool=io_pool)
         real = len(paths)
         if real < batch_size:          # static-shape pad
             reps = batch_size - real
@@ -164,7 +174,58 @@ def extract_split_features(image_paths: Sequence[str], *,
                                     np.repeat(metas[:1], reps, 0)])
             sizes = np.concatenate([sizes,
                                     np.repeat(sizes[:1], reps, 0)])
-        return canvases, metas, sizes, real
+        return canvases, metas, sizes, real, failed
+
+    def extract(canvases, metas, sizes):
+        kw = dict(num_objects=num_objects)
+        if frcnn:
+            fn = extract_features_frcnn
+            kw["canvas"] = canvas_size
+        else:
+            kw["max_obj"] = max_obj
+            if feature_mode == "roi":
+                fn = extract_features_roi
+                kw.update(trunk_size=roi_trunk_size,
+                          detect_size=roi_detect_size)
+            else:
+                fn = extract_features_batch
+            if mesh is not None:
+                fn = functools.partial(extract_features_sharded, mesh,
+                                       feature_mode=feature_mode)
+        feats, poss, _ = fn(extractor_params, jnp.asarray(canvases),
+                            jnp.asarray(metas), jnp.asarray(sizes), **kw)
+        return feats, poss
+
+    n = len(image_paths)
+    starts = list(range(0, n, batch_size))
+    try:
+        next_fut = batch_pool.submit(load_batch, starts[0]) \
+            if starts else None
+        for i, start in enumerate(starts):
+            canvases, metas, sizes, real, failed = next_fut.result()
+            if i + 1 < len(starts):
+                next_fut = batch_pool.submit(load_batch, starts[i + 1])
+            feats, poss = extract(canvases, metas, sizes)
+            yield start, real, failed, feats, poss
+    finally:
+        batch_pool.shutdown()
+        io_pool.shutdown()
+
+
+def extract_split_features(image_paths: Sequence[str], *,
+                           num_position_dims: int = 84,
+                           verbose: bool = True,
+                           **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+    """All images of a split -> ([N, S, 2048], [N, S, P]) arrays.
+
+    A draining consumer of :func:`stream_extracted_batches` (same
+    keyword options) that keeps THREE stages in flight: host threads
+    decode batch k+1 while the device runs batch k and batch k-1's
+    device-async results are fetched."""
+    n = len(image_paths)
+    s = kwargs.get("num_objects", 36) + 1
+    all_feats = np.zeros((n, s, 2048), np.float32)
+    all_pos = np.zeros((n, s, num_position_dims), np.float32)
 
     def drain(pending):
         start, real, feats, poss = pending
@@ -172,51 +233,16 @@ def extract_split_features(image_paths: Sequence[str], *,
         all_pos[start:start + real] = \
             np.asarray(poss)[:real, :, :num_position_dims]
 
-    # software pipeline, three stages in flight: host threads decode
-    # batch k+1 while the device runs batch k and batch k-1's (device-
-    # async) results are fetched — the reference serializes all three
-    # per IMAGE (features.py:87-119 with per-item preprocess).
-    starts = list(range(0, n, batch_size))
-    try:
-        next_fut = batch_pool.submit(load_batch, starts[0]) \
-            if starts else None
-        pending = None
-        for i, start in enumerate(starts):
-            canvases, metas, sizes, real = next_fut.result()
-            if i + 1 < len(starts):
-                next_fut = batch_pool.submit(load_batch, starts[i + 1])
-            if frcnn:
-                feats, poss, _ = extract_features_frcnn(
-                    extractor_params, jnp.asarray(canvases),
-                    jnp.asarray(metas), jnp.asarray(sizes),
-                    num_objects=num_objects, canvas=canvas_size)
-            else:
-                kw = dict(num_objects=num_objects, max_obj=max_obj)
-                if feature_mode == "roi":
-                    kw["trunk_size"] = roi_trunk_size
-                    kw["detect_size"] = roi_detect_size
-                    single = extract_features_roi
-                else:
-                    single = extract_features_batch
-                if mesh is not None:
-                    extract = functools.partial(extract_features_sharded,
-                                                mesh,
-                                                feature_mode=feature_mode)
-                else:
-                    extract = single
-                feats, poss, _ = extract(
-                    extractor_params, jnp.asarray(canvases),
-                    jnp.asarray(metas), jnp.asarray(sizes), **kw)
-            if pending is not None:
-                drain(pending)         # previous batch: device is ahead
-            pending = (start, real, feats, poss)
-            if verbose and i % 10 == 0:
-                print(f"[etl] {start + real}/{n} images")
+    pending = None
+    for i, (start, real, _, feats, poss) in enumerate(
+            stream_extracted_batches(image_paths, **kwargs)):
         if pending is not None:
-            drain(pending)
-    finally:
-        batch_pool.shutdown()
-        io_pool.shutdown()
+            drain(pending)             # previous batch: device is ahead
+        pending = (start, real, feats, poss)
+        if verbose and i % 10 == 0:
+            print(f"[etl] {start + real}/{n} images")
+    if pending is not None:
+        drain(pending)
     return all_feats, all_pos
 
 

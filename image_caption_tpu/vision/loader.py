@@ -127,7 +127,12 @@ def load_letterboxed_batch(paths: Sequence[str], size: int = 640, *,
                 raise
             return blank(), False
 
-    if lib is None or n == 0:
+    if n == 0:
+        out = (np.zeros((0, size, size, 3), np.uint8),
+               np.zeros((0, meta_dim), np.float32),
+               np.zeros((0, 2), np.float32))
+        return out + (np.zeros((0,), bool),) if return_ok else out
+    if lib is None:
         mapper = io_pool.map if io_pool is not None else map
         loaded = list(mapper(load_pil, paths))
         out = (np.stack([c for (c, _, _), _ in loaded]),

@@ -144,6 +144,14 @@ def test_return_ok_isolates_unreadable_images(jpeg_dir, tmp_path,
         monkeypatch.setattr(loader, "_lib", None)
 
 
+def test_empty_batch_returns_empty_arrays():
+    canv, metas, sizes = loader.load_letterboxed_batch([], 320)
+    assert canv.shape == (0, 320, 320, 3) and metas.shape == (0, 3)
+    *_, ok = loader.load_letterboxed_batch([], 320, rect=True,
+                                           return_ok=True)
+    assert ok.shape == (0,)
+
+
 def test_etl_uses_batch_loader(tmp_path, monkeypatch):
     """extract_split_features consumes the batch loader output; a tiny
     fake-extract run over real JPEGs must see correctly letterboxed

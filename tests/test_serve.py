@@ -112,8 +112,12 @@ def test_caption_images_skip_errors(tiny_cfg, tiny_setup, tmp_path):
               batch_size=3)
     with pytest.raises(Exception):
         caption_images(tiny_cfg, mixed, captioner, idx_to_word, **kw)
+    streamed = []
     caps = caption_images(tiny_cfg, mixed, captioner, idx_to_word,
-                          skip_errors=True, **kw)
+                          skip_errors=True,
+                          on_batch=lambda s, c: streamed.append((s, c)),
+                          **kw)
+    assert streamed == [(0, caps)]     # per-batch streaming callback
     clean = caption_images(tiny_cfg, [paths[0], paths[1]], captioner,
                            idx_to_word, batch_size=2, **{
                                k: v for k, v in kw.items()
