@@ -14,7 +14,9 @@ loss.py:9,116):
   * brevity penalty ``exp(1 - 1/ratio)`` with ``ratio = (testlen + tiny) /
     (reflen + small)`` applied when ratio < 1;
   * corpus score aggregates raw counts (not sentence means); per-sentence
-    scores returned alongside, each multiplied by the corpus BP convention.
+    scores returned alongside, each with its OWN brevity penalty from that
+    sentence's testlen/reflen ratio (exactly like bleu_scorer.py — the
+    corpus-level BP applies only to the corpus score).
 """
 
 from __future__ import annotations

@@ -73,8 +73,17 @@ class _CiderBase:
             blob = pickle.load(f, encoding="latin1")
         if isinstance(blob, dict) and "document_frequency" in blob:
             self.doc_frequency = blob["document_frequency"]
-            self.log_ref_len = float(blob.get("ref_len",
-                                              COCO_VAL_LOG_REF_LEN))
+            # the published ruotianluo coco-val-df.p stores ref_len as the
+            # RAW document count (prepro_ngrams.py: ref_len = count_imgs)
+            # and the scorer logs it at load (ciderD_scorer.py:
+            # np.log(float(pkl_file['ref_len']))) — treating it as
+            # pre-logged would silently erase idf weighting for the real
+            # published blob
+            if "ref_len" in blob:
+                self.log_ref_len = float(np.log(max(float(blob["ref_len"]),
+                                                    1.0)))
+            else:
+                self.log_ref_len = COCO_VAL_LOG_REF_LEN
         else:
             self.doc_frequency = blob
             self.log_ref_len = COCO_VAL_LOG_REF_LEN
@@ -204,8 +213,9 @@ def build_doc_frequency(caption_groups, n: int = N_DEFAULT) -> Dict:
     """df blob from an iterable of per-image caption lists.
 
     Returns the on-disk layout ``{"document_frequency": {ngram: df},
-    "ref_len": log(N_docs)}`` that ``_load_df`` consumes (the ruotianluo
-    coco-val-df.p format)."""
+    "ref_len": N_docs}`` that ``_load_df`` consumes — ``ref_len`` is the
+    RAW document count, logged at load, exactly like the published
+    ruotianluo coco-val-df.p (prepro_ngrams.py)."""
     df: Dict[tuple, float] = defaultdict(float)
     n_docs = 0
     for captions in caption_groups:
@@ -216,7 +226,7 @@ def build_doc_frequency(caption_groups, n: int = N_DEFAULT) -> Dict:
         for g in seen:
             df[g] += 1.0
     return {"document_frequency": dict(df),
-            "ref_len": float(np.log(max(n_docs, 1)))}
+            "ref_len": float(max(n_docs, 1))}
 
 
 def save_doc_frequency(blob: Dict, path: str) -> None:

@@ -57,11 +57,12 @@ class Meteor:
         with self._lock:
             for key in sorted(gts.keys()):
                 assert len(res[key]) == 1
+                # pycocoevalcap sanitizes ONLY the hypothesis (meteor.py
+                # _stat); references go to the jar verbatim — sanitizing
+                # them too changes alignment input on unclean refs
                 hypo = res[key][0].replace("|||", "").replace("  ", " ")
-                refs = [r.replace("|||", "").replace("  ", " ")
-                        for r in gts[key]]
                 score_line = " ||| ".join(
-                    ("SCORE", " ||| ".join(refs), hypo))
+                    ("SCORE", " ||| ".join(gts[key]), hypo))
                 self._proc.stdin.write(score_line + "\n")
                 stats = self._proc.stdout.readline().strip()
                 eval_line += " ||| {}".format(stats)

@@ -34,10 +34,13 @@ def lcs_length(a: List[str], b: List[str]) -> int:
 
 
 def rouge_l_sentence(candidate: str, refs: List[str]) -> float:
-    cand_tokens = candidate.split()
+    # split(" "), not split(): pycocoevalcap's rouge keeps the empty
+    # tokens that runs of whitespace produce, and they count toward the
+    # precision/recall denominators — bit-compat requires matching that
+    cand_tokens = candidate.split(" ")
     prec, rec = [], []
     for ref in refs:
-        ref_tokens = ref.split()
+        ref_tokens = ref.split(" ")
         lcs = lcs_length(cand_tokens, ref_tokens)
         prec.append(lcs / float(len(cand_tokens)) if cand_tokens else 0.0)
         rec.append(lcs / float(len(ref_tokens)) if ref_tokens else 0.0)

@@ -51,7 +51,9 @@ def make_reward_callback(reward_computer) -> Callable:
         flat = sample_seq.reshape(b * n, t)
         tgt = np.repeat(target_seq, n, axis=0)
         structure = reward_computer.structure_scores(flat, tgt)
-        self_cider = reward_computer.self_cider_scores(flat)
+        # n>1 (true multi-sample SCST) groups each image's N samples into
+        # one diversity gram; n=1 is the reference's per-caption no-op
+        self_cider = reward_computer.self_cider_scores(flat, group_size=n)
         return (np.asarray(structure, np.float32).reshape(b, n),
                 np.asarray(self_cider, np.float32).reshape(b, n))
 

@@ -114,16 +114,39 @@ class RewardComputer:
         return (self.cider_w * np.asarray(cider_scores)
                 + self.bleu_w * np.asarray(bleu_scores)).astype(np.float32)
 
-    def self_cider_scores(self, sample_seq: np.ndarray) -> np.ndarray:
-        """loss.py:189-216 — per-sentence diversity (0 for single samples)."""
+    def self_cider_scores(self, sample_seq: np.ndarray,
+                          group_size: int = 1) -> np.ndarray:
+        """loss.py:189-216 — per-sentence diversity.
+
+        ``group_size=1`` reproduces the reference exactly: its own
+        ``get_self_cider_scores`` calls ``my_self_cider([res[i:i+1]])``
+        per caption, a 1-element group whose 1x1 gram makes ``get_div``
+        identically 0 (hence the reference's own "not working that much
+        in this way" comment, loss.py:144).  ``group_size=N`` — set from
+        ``rl.num_samples`` when true multi-sample SCST is on — computes
+        the upstream self-critical semantics the reference transcribed
+        from: one NxN tf-idf gram over each image's N consecutive
+        samples, the shared diversity score repeated across the group."""
         res_strs = self.decode(sample_seq)
-        if self._native is not None:
-            return self._native.self_cider_scores(res_strs)
+        if group_size <= 1:
+            if self._native is not None:
+                return self._native.self_cider_scores(res_strs)
+            groups = [[s] for s in res_strs]
+        else:
+            if len(res_strs) % group_size:
+                raise ValueError(
+                    f"{len(res_strs)} rows not divisible by "
+                    f"group_size={group_size}")
+            # the native kernel hard-codes the 1x1 shortcut; N is small
+            # (rl.num_samples), so the Python gram path is cheap here
+            groups = [res_strs[i:i + group_size]
+                      for i in range(0, len(res_strs), group_size)]
         scores = []
-        for s in res_strs:
-            gram = self.cider.my_self_cider([[s]])[0]
+        for g in groups:
+            gram = self.cider.my_self_cider([g])[0]
             scores.append(get_div(np.linalg.eigvalsh(gram / 10.0)))
-        return np.asarray(scores, dtype=np.float32)
+        return np.repeat(np.asarray(scores, dtype=np.float32),
+                         max(group_size, 1))
 
     def __call__(self, sample_seq: np.ndarray,
                  target_seq: np.ndarray) -> np.ndarray:

@@ -337,7 +337,7 @@ class RLTrainer(Trainer):
             flat = seq_blk.reshape(-1, t)
             target = np.repeat(caps_blk[:, 1:], n, axis=0)
             rw = self.reward_computer.structure_scores(flat, target)
-            sc = self.reward_computer.self_cider_scores(flat)
+            sc = self.reward_computer.self_cider_scores(flat, group_size=n)
             rewards[r] = np.asarray(rw).reshape(-1, n)
             self_cider[r] = np.asarray(sc).reshape(-1, n)
         return rewards, self_cider

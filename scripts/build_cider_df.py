@@ -10,8 +10,9 @@ produces an equivalent pickle from any references file or captions JSON:
         data/coco-val-df.p
 
 The output format is ``{"document_frequency": {ngram_tuple: df},
-"ref_len": log(N)}`` — what ``metrics.cider`` loads via ``$ICX_CIDER_DF``
-or ``./data/coco-val-df.p``.
+"ref_len": N_docs}`` (raw document count, logged at load) — the published
+ruotianluo coco-val-df.p layout, what ``metrics.cider`` loads via
+``$ICX_CIDER_DF`` or ``./data/coco-val-df.p``.
 """
 
 import json
@@ -43,7 +44,7 @@ def main(src: str, dst: str) -> None:
     blob = build_doc_frequency(iter_caption_groups(src))
     save_doc_frequency(blob, dst)
     print(f"wrote df with {len(blob['document_frequency'])} n-grams "
-          f"(log ref_len {blob['ref_len']:.3f}) to {dst}")
+          f"(ref_len {blob['ref_len']:.0f} docs) to {dst}")
 
 
 if __name__ == "__main__":

@@ -62,7 +62,7 @@ def _frozen_df_path() -> str:
     import pickle
     path = "/tmp/icx_dryrun_frozen_df.p"
     blob = {"document_frequency": {("a",): 3.0, ("a", "a"): 2.0},
-            "ref_len": math.log(64.0)}
+            "ref_len": 64.0}   # raw doc count; the scorer logs it at load
     tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         pickle.dump(blob, f)

@@ -343,7 +343,7 @@ def _vocab_50():
 
 def _write_df_blob(path):
     """A small frozen doc-frequency file in the ruotianluo coco-val-df.p
-    layout ({'document_frequency': {ngram: df}, 'ref_len': log(N)}) over the
+    layout ({'document_frequency': {ngram: df}, 'ref_len': N_docs}) over the
     toy vocab, so CiderD/Cider(df='coco-val') take the frozen-df path on
     both sides (loss.py:112-116).  Without it the corpus-fallback gram is
     identically zero and the reference's unguarded get_div (loss.py:210)
@@ -352,7 +352,7 @@ def _write_df_blob(path):
     for i in range(4, 50):
         df[(f"w{i}",)] = float(1 + i % 7)
         df[(f"w{i}", f"w{i + 1 if i < 49 else 4}")] = 1.0
-    blob = {"document_frequency": df, "ref_len": float(np.log(1000.0))}
+    blob = {"document_frequency": df, "ref_len": 1000.0}
     with open(path, "wb") as f:
         pickle.dump(blob, f)
 

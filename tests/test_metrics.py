@@ -185,6 +185,44 @@ def test_self_cider_diversity_score_zero_for_single():
     assert get_div(np.linalg.eigvalsh(gram / 10)) == 0.0
 
 
+def test_self_cider_grouped_scores(tmp_path):
+    """group_size=N (the rl.num_samples>1 extension) builds one NxN gram
+    per image: identical samples score 0 diversity, distinct samples
+    score >0, and every sample in a group shares its image's score.
+    group_size=1 stays the reference's per-caption no-op (all zeros).
+    Needs a frozen df — in corpus-fallback mode idf is identically 0 and
+    every gram degenerates (the get_div clamp case)."""
+    from image_caption_tpu.metrics.cider import (build_doc_frequency,
+                                                 save_doc_frequency)
+    from image_caption_tpu.rl.rewards import RewardComputer
+
+    vocab = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+    for i, w in enumerate(["cat", "dog", "runs", "sits", "fast", "slow"]):
+        vocab[w] = 4 + i
+    df_path = tmp_path / "df.p"
+    save_doc_frequency(build_doc_frequency(
+        [["cat runs"], ["dog sits fast"], ["slow dog"], ["cat sits"]]),
+        str(df_path))
+    rc = RewardComputer(vocab, cider_df=str(df_path), use_native=False)
+
+    def seq(*words):
+        row = [1] + [vocab[w] for w in words] + [2]
+        return row + [0] * (8 - len(row))
+
+    # image 0: two DIFFERENT samples; image 1: two IDENTICAL samples
+    seqs = np.asarray([seq("cat", "runs", "fast"), seq("dog", "sits"),
+                       seq("cat", "runs"), seq("cat", "runs")], np.int32)
+    grouped = rc.self_cider_scores(seqs, group_size=2)
+    assert grouped.shape == (4,)
+    assert grouped[0] == grouped[1] and grouped[2] == grouped[3]
+    assert grouped[0] > 0.0                       # diverse pair
+    assert grouped[2] == pytest.approx(0.0)       # identical pair
+    # reference mode: 1-element groups, identically zero
+    np.testing.assert_array_equal(rc.self_cider_scores(seqs), 0.0)
+    with pytest.raises(ValueError):
+        rc.self_cider_scores(seqs, group_size=3)
+
+
 def test_doc_frequency_roundtrip(tmp_path):
     """VERDICT r1 #4: frozen df built by the ETL is loaded by the scorers
     and changes reward scale vs per-batch corpus mode."""
@@ -196,7 +234,9 @@ def test_doc_frequency_roundtrip(tmp_path):
     blob = build_doc_frequency(groups)
     assert ("a",) in blob["document_frequency"]
     assert blob["document_frequency"][("a",)] == 3.0   # in all 3 docs
-    assert abs(blob["ref_len"] - np.log(3.0)) < 1e-12
+    # raw document count on disk (the published prepro_ngrams.py layout);
+    # the scorer logs it at load
+    assert blob["ref_len"] == 3.0
 
     path = tmp_path / "coco-val-df.p"
     save_doc_frequency(blob, str(path))
