@@ -33,9 +33,17 @@ unreliable over the axon tunnel) and take the median of ITERS runs.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# BENCH_SMOKE=1 shrinks every metric to toy shapes (tiny batches, small
+# canvases, 1 timing iter) so the whole file executes end-to-end on a CPU
+# in minutes — a pre-flight check that no bench line will crash when the
+# driver runs the real thing on the chip.  Timings in smoke mode are
+# meaningless; the driver never sets it.
+SMOKE = os.environ.get("BENCH_SMOKE", "0") not in ("", "0")
 
 BEAM_PER_CHIP_TARGET = 500.0 / 8.0   # north-star v5e-8 target, per chip
 EXTRACT_PER_CHIP_TARGET = 5000.0 / 8.0
@@ -55,6 +63,8 @@ def _sync_scalar(x):
 
 
 def _median_time(fn, warmup=WARMUP, iters=ITERS):
+    if SMOKE:
+        warmup, iters = min(warmup, 1), 1
     for _ in range(warmup):
         _sync_scalar(fn())
     ts = []
@@ -67,9 +77,20 @@ def _median_time(fn, warmup=WARMUP, iters=ITERS):
 
 def _flagship(num_vocab=12_000):
     from image_caption_tpu.config import get_preset
-    return get_preset(
-        "RL_maxlen49_36obj_1wordCount_256_25b_32h_split_img_obj"
-    ).with_overrides(**{"model.num_vocab": num_vocab})
+    cfg = get_preset("RL_maxlen49_36obj_1wordCount_256_25b_32h_split_img_obj")
+    if SMOKE:
+        # same plumbing/graph structure, toy dims — the smoke validates
+        # imports/signatures/JSON, not throughput
+        return cfg.with_overrides(**{
+            "model.num_vocab": 512, "model.max_length": 13,
+            "model.encode_input_size": 32, "model.encode_q_k_dim": 32,
+            "model.encode_v_dim": 32, "model.encode_hidden_size": 32,
+            "model.encode_num_heads": 4,
+            "model.decode_input_size": 32, "model.decode_q_k_dim": 32,
+            "model.decode_v_dim": 32, "model.decode_hidden_size": 32,
+            "model.decode_num_heads": 4,
+            "model.dim_word_embedding": 32})
+    return cfg.with_overrides(**{"model.num_vocab": num_vocab})
 
 
 def _fake_caption_batch(m, batch, seed=0):
@@ -88,6 +109,7 @@ _EXTRACT_STATE: dict = {}
 def _extract_inputs(batch):
     import jax.numpy as jnp
     from image_caption_tpu.vision.pipeline import init_extractor
+    size = 128 if SMOKE else 640
     if "params" not in _EXTRACT_STATE:
         _EXTRACT_STATE["params"] = init_extractor()
     if _EXTRACT_STATE.get("batch") != batch:    # cache keyed by batch
@@ -95,9 +117,10 @@ def _extract_inputs(batch):
         _EXTRACT_STATE.update(
             batch=batch,
             canvases=jnp.asarray(
-                rng.rand(batch, 640, 640, 3).astype(np.float32) * 255.0),
+                rng.rand(batch, size, size, 3).astype(np.float32) * 255.0),
             metas=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (batch, 1)),
-            sizes=jnp.tile(jnp.asarray([[640.0, 640.0]]), (batch, 1)))
+            sizes=jnp.tile(jnp.asarray([[float(size), float(size)]]),
+                           (batch, 1)))
     s = _EXTRACT_STATE
     return s["params"], s["canvases"], s["metas"], s["sizes"]
 
@@ -105,6 +128,10 @@ def _extract_inputs(batch):
 def _bench_extraction_config(metric, batch, extract_fn=None, **kwargs):
     from image_caption_tpu.vision.pipeline import extract_features_batch
     fn = extract_fn or extract_features_batch
+    if SMOKE:
+        batch = 2
+        if extract_fn is None:              # per-crop mode: tiny crops
+            kwargs.setdefault("crop_size", 64)
     params, canvases, metas, sizes = _extract_inputs(batch)
     dt = _median_time(lambda: fn(params, canvases, metas, sizes, **kwargs),
                       warmup=2, iters=5)
@@ -128,6 +155,8 @@ def bench_extraction_etl(batch=128):
 
 def _bench_roi_config(metric, batch, **kwargs):
     from image_caption_tpu.vision.pipeline import extract_features_roi
+    if SMOKE:
+        kwargs.update(trunk_size=128, detect_size=128)
     return _bench_extraction_config(metric, batch,
                                     extract_fn=extract_features_roi,
                                     **kwargs)
@@ -160,6 +189,8 @@ def bench_xe_step(batch=32, scan_k=32):
     ~25 steps/s on the same chip (all RTT — device time is ~10 ms)."""
     import jax
     from image_caption_tpu.train.loop import Trainer
+    if SMOKE:
+        batch, scan_k = 4, 2
     cfg = _flagship().with_overrides(**{"train.batch_size": batch,
                                         "train.scan_steps": scan_k})
     trainer = Trainer(cfg, rng=jax.random.PRNGKey(0))
@@ -186,6 +217,8 @@ def bench_rl_step(batch=32):
     backend supports (two-phase on the tunneled axon runtime)."""
     import jax
     from image_caption_tpu.train.loop import RLTrainer
+    if SMOKE:
+        batch = 4
     cfg = _flagship().with_overrides(**{"train.batch_size": batch})
     m = cfg.model
     vocab = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
@@ -201,7 +234,7 @@ def bench_rl_step(batch=32):
     dt = _median_time(step, warmup=2, iters=5)
     v = 1.0 / dt
     return {"metric": "rl_train_steps_per_sec",
-            "value": round(v, 2), "unit": "steps/sec (batch 32)",
+            "value": round(v, 2), "unit": f"steps/sec (batch {batch})",
             "vs_baseline": round(v / RL_STEPS_FLOOR, 3)}
 
 
@@ -209,6 +242,8 @@ def bench_greedy(batch=128):
     import jax
     from image_caption_tpu.models.captioner import init_captioner
     from image_caption_tpu.models.decoding import greedy_decode
+    if SMOKE:
+        batch = 4
     cfg = _flagship()
     m = cfg.model
     params = init_captioner(jax.random.PRNGKey(0), m)
@@ -227,6 +262,8 @@ def bench_beam(batch=128, beam=3):
     import jax
     from image_caption_tpu.models.captioner import init_captioner
     from image_caption_tpu.models.decoding import beam_score_mode, beam_search
+    if SMOKE:
+        batch = 4
     cfg = _flagship()
     m = cfg.model
     params = init_captioner(jax.random.PRNGKey(0), m)

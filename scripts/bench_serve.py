@@ -54,7 +54,8 @@ def main() -> None:
     from image_caption_tpu.vision.pipeline import ExtractorParams
 
     cfg = get_preset("RL_maxlen49_36obj_1wordCount_256_25b_32h_split_img_obj"
-                     ).with_overrides(**{"model.num_vocab": 12_000})
+                     ).with_overrides(
+        **{"model.num_vocab": 512 if args.tiny else 12_000})
     if args.tiny:
         from image_caption_tpu.vision.resnet import init_resnet
         from image_caption_tpu.vision.yolov5 import init_yolov5

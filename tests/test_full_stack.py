@@ -92,3 +92,24 @@ def test_features_train_evaluation_cli(coco_tree, tmp_path, monkeypatch,
         out, "candidates", "test.candidate.captions.pkl"))
     assert len(cands) == 2 and all(isinstance(c, str) for c in cands)
     assert "CIDEr" in capsys.readouterr().out
+
+    # serving verb: same trained checkpoint captions raw JPEGs from disk
+    # (the val dir ETL'd above) straight through load->extract->decode
+    jsonl = str(tmp_path / "caps.jsonl")
+    cli.main(base + feats + [
+        "caption", "--image-dir", os.path.join(coco_tree, "image",
+                                               "val2017"),
+        "--out", jsonl, "--batch-size", "3", "--beam-size", "2"])
+    rows = [json.loads(ln) for ln in open(jsonl)]
+    assert len(rows) == 4
+    assert all(r["caption"] and r["image"].endswith(".jpg") for r in rows)
+
+    # demo verb: one raw image -> caption + detection/attention overlays
+    # (main.py:193-247 parity surface; writes under ./demo relative to cwd)
+    val_dir = os.path.join(coco_tree, "image", "val2017")
+    img0 = os.path.join(val_dir, sorted(os.listdir(val_dir))[0])
+    monkeypatch.chdir(tmp_path)
+    cli.main(base + feats + ["demo", "--image-path", img0, "--save-img"])
+    stem = os.path.splitext(os.path.basename(img0))[0]
+    demo_dir = tmp_path / "demo" / stem / "YOLOv5"
+    assert demo_dir.is_dir() and any(demo_dir.iterdir())
