@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--beam", type=int, default=3)
+    ap.add_argument("--latency", action="store_true",
+                    help="also measure single-image (batch-1) latency: "
+                         "p50/p90 wall time per caption_images call")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +93,23 @@ def main() -> None:
             assert len(caps) == args.n
             print(f"[bench_serve] {label:14s} {args.n / dt:8.1f} img/s "
                   f"({dt:.1f}s / {args.n})", flush=True)
+            if args.latency:
+                # batch-1 request latency through the same entry point
+                # (one compiled program at batch 1; warmup above was
+                # batch args.batch, so pay the batch-1 compile once)
+                kw1 = dict(kw, batch_size=1)
+                caption_images(cfg, paths[:1], captioner, idx_to_word,
+                               **kw1)
+                lats = []
+                for p in paths[:min(args.n, 20)]:
+                    t1 = time.perf_counter()
+                    caption_images(cfg, [p], captioner, idx_to_word, **kw1)
+                    lats.append((time.perf_counter() - t1) * 1e3)
+                lats.sort()
+                print(f"[bench_serve] {label:14s} latency p50 "
+                      f"{lats[len(lats) // 2]:7.1f} ms  p90 "
+                      f"{lats[int(len(lats) * 0.9)]:7.1f} ms (batch 1)",
+                      flush=True)
 
 
 if __name__ == "__main__":

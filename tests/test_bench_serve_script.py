@@ -22,10 +22,14 @@ def test_bench_serve_tiny_runs_all_combos():
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, SCRIPT, "--tiny", "--n", "6", "--batch", "3",
-         "--beam", "2"],
+         "--beam", "2", "--latency"],
         capture_output=True, text=True, timeout=2400, env=env)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     lines = re.findall(r"\[bench_serve\] (\S+)\s+([\d.]+) img/s", r.stdout)
     assert [label for label, _ in lines] == [
         "crop+greedy", "crop+beam2", "roi+greedy", "roi+beam2"], r.stdout
     assert all(float(v) > 0 for _, v in lines)
+    lat = re.findall(r"latency p50\s+([\d.]+) ms\s+p90\s+([\d.]+) ms",
+                     r.stdout)
+    assert len(lat) == 4 and all(float(p50) <= float(p90) + 1e-9
+                                 for p50, p90 in lat), r.stdout
