@@ -88,10 +88,3 @@ class CoreNLPTokenizer:
     def __call__(self, text: str) -> List[str]:
         return self.tokenize(text)
 
-
-def get_tokenizer(backend: str = "ptb", url: str = "http://localhost:9000"):
-    if backend == "ptb":
-        return PTBTokenizer()
-    if backend == "corenlp":
-        return CoreNLPTokenizer(url=url)
-    raise ValueError(f"unknown tokenizer backend {backend!r}")

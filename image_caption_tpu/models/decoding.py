@@ -216,28 +216,6 @@ def greedy_decode(params: Params, cfg: ModelConfig,
 # Beam search
 # ---------------------------------------------------------------------------
 
-def _gather_beams(x: jnp.ndarray, beam_idx: jnp.ndarray,
-                  batch: int, k: int) -> jnp.ndarray:
-    """x [B*K, ...] reordered by beam_idx [B, K] -> [B*K, ...].
-
-    Realized as a one-hot einsum over the beam dim: for beam-search K
-    (<= 8) this is a [K x K] batched matmul the MXU eats for free, whereas
-    ``take_along_axis`` lowers to a scalar gather that dominates the whole
-    decode loop on TPU."""
-    dtype = x.dtype
-    # ints/bools ride the matmul in f32: values (tokens < 2^24, 0/1 flags)
-    # are exact, and the one-hot selects a single row
-    xr = x.reshape(batch, k, -1).astype(jnp.float32)
-    onehot = jax.nn.one_hot(beam_idx, k, dtype=jnp.float32)  # [B, Knew, Kold]
-    out = jnp.einsum("bnk,bkx->bnx", onehot, xr,
-                     preferred_element_type=jnp.float32)
-    if dtype == jnp.bool_:
-        out = out > 0.5
-    elif jnp.issubdtype(dtype, jnp.integer):
-        out = jnp.round(out)
-    return out.astype(dtype).reshape(batch * k, *x.shape[1:])
-
-
 class BeamCache(NamedTuple):
     """Gather-free beam state: K/V stay where they were written; beam
     reordering touches only the small ancestry/validity/token arrays.

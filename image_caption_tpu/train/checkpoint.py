@@ -10,10 +10,7 @@ resume-from-latest (SURVEY.md §5 checkpoint/resume).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
-
-import jax
-import numpy as np
+from typing import Optional
 
 from .state import TrainState
 
@@ -57,38 +54,3 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
-
-
-def save_params_npz(path: str, params: Any) -> None:
-    """Flat-numpy params export (portable, torch-free)."""
-    leaves = {}
-
-    def visit(prefix, node):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                visit(f"{prefix}/{k}" if prefix else k, v)
-        elif isinstance(node, (list, tuple)):
-            for i, v in enumerate(node):
-                visit(f"{prefix}/{i}", v)
-        else:
-            leaves[prefix] = np.asarray(node)
-
-    visit("", params)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **leaves)
-
-
-def load_params_npz(path: str, template: Any) -> Any:
-    """Load a flat-numpy export back into the template's tree structure."""
-    data = np.load(path)
-
-    def build(prefix, node):
-        if isinstance(node, dict):
-            return {k: build(f"{prefix}/{k}" if prefix else k, v)
-                    for k, v in node.items()}
-        if isinstance(node, (list, tuple)):
-            return type(node)(build(f"{prefix}/{i}", v)
-                              for i, v in enumerate(node))
-        return jax.numpy.asarray(data[prefix])
-
-    return build("", template)

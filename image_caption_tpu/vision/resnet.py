@@ -193,12 +193,6 @@ def resnet_feature_maps(params: Params, images: jnp.ndarray, *,
     return maps
 
 
-def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
-    """uint8/float [N,H,W,3] RGB in [0,255] -> ImageNet-normalized float32
-    (ToTensor + Normalize, core/preprocess.py:29-34)."""
-    x = images.astype(jnp.float32) / 255.0
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
-
 
 # ---------------------------------------------------------------------------
 # Torch weight import
