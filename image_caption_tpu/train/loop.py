@@ -33,7 +33,7 @@ from .checkpoint import CheckpointManager
 from .logging import TensorBoardWriter, format_sample, write_scores
 from .state import TrainState, create_train_state
 from .step import (compile_eval_step, compile_train_step,
-                   compile_train_step_scan)
+                   compile_train_step_scan, place_state)
 
 
 def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
@@ -90,7 +90,12 @@ class Trainer:
             data=cfg.train.data_axis, model=cfg.train.model_axis)
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
         self.init_rng, self.step_rng = jax.random.split(rng)
-        self.state = create_train_state(cfg, self.init_rng)
+        # place onto the mesh shardings NOW: a default-placed state would
+        # give the first step call a different executable cache key than
+        # every later call (whose inputs are the previous donated output)
+        # and the whole step would compile twice (train/step.place_state)
+        self.state = place_state(self.mesh,
+                                 create_train_state(cfg, self.init_rng))
         self._train_step = compile_train_step(cfg, self.mesh, self.state)
         self._eval_step = compile_eval_step(cfg, self.mesh, self.state)
         self._train_step_scan = None     # compiled on first use
@@ -240,7 +245,8 @@ class RLTrainer(Trainer):
             data=cfg.train.data_axis, model=cfg.train.model_axis)
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
         self.init_rng, self.step_rng = jax.random.split(rng)
-        self.state = create_train_state(cfg, self.init_rng)
+        self.state = place_state(self.mesh,
+                                 create_train_state(cfg, self.init_rng))
 
         # frozen CIDEr df (loss.py:112-116, df='coco-val'): prefer the
         # table the features ETL wrote next to the splits, else the
@@ -415,7 +421,10 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
     start_epoch = 1
     if resume and ckpt.latest_epoch() is not None:
         last = ckpt.latest_epoch()
-        trainer.state = ckpt.restore(last, trainer.state)
+        # re-place after restore: orbax returns default-placed arrays,
+        # which would double-compile the step (train/step.place_state)
+        trainer.state = place_state(trainer.mesh,
+                                    ckpt.restore(last, trainer.state))
         start_epoch = last + 1
         if verbose:
             print(f"[train] resumed from epoch {last}")

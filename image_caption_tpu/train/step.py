@@ -67,6 +67,18 @@ def _state_shardings(mesh: Mesh, state: TrainState):
                       opt_state=opt_sh)
 
 
+def place_state(mesh: Mesh, state: TrainState) -> TrainState:
+    """Place a host-created (or checkpoint-restored) state onto the mesh
+    with the SAME NamedShardings the compiled steps use.
+
+    Without this, the first step call sees default-placed inputs while
+    every later call sees the previous output's NamedShardings — two
+    distinct executable cache keys, so jax compiles the whole train step
+    TWICE (measured: a duplicate ~50 s compile on the second step at CPU
+    smoke shapes, ~30-60 s of remote compile on the tunneled TPU)."""
+    return jax.device_put(state, _state_shardings(mesh, state))
+
+
 def compile_train_step(cfg: Config, mesh: Mesh, state: TrainState,
                        donate: bool = True):
     """Build the pjit-compiled train step for this mesh.
