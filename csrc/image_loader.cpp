@@ -307,6 +307,9 @@ void icx_load_letterboxed_batch(const char* const* paths, int n,
                                 int canvas_size, int rect, int stride,
                                 int nthreads, uint8_t* canvases,
                                 float* metas, float* sizes, uint8_t* ok) {
+  if (n <= 0) return;  // n==0 would clamp nthreads to 0 below and the
+                       // reserve(nthreads - 1) size_t underflow throws a
+                       // C++ exception across the extern "C" boundary
   if (nthreads < 1) nthreads = 1;
   if (nthreads > n) nthreads = n;
   std::atomic<int> next(0);

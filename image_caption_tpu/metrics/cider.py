@@ -80,8 +80,29 @@ class _CiderBase:
             # pre-logged would silently erase idf weighting for the real
             # published blob
             if "ref_len" in blob:
-                self.log_ref_len = float(np.log(max(float(blob["ref_len"]),
-                                                    1.0)))
+                ref_len = float(blob["ref_len"])
+                # Three on-disk generations of this field:
+                #   * blobs written by build_doc_frequency since r3 carry
+                #     df_format='raw_count' (authoritative);
+                #   * the published ruotianluo blob and unmarked re-builds
+                #     store the RAW (integral) document count;
+                #   * blobs written by this repo's pre-r3
+                #     build_doc_frequency stored log(N) — a non-integral
+                #     value for every real corpus.  Re-logging one of
+                #     those would silently corrupt every idf term, so the
+                #     integrality of the value disambiguates.
+                if blob.get("df_format") == "raw_count" or \
+                        ref_len.is_integer():
+                    self.log_ref_len = float(np.log(max(ref_len, 1.0)))
+                else:
+                    import warnings
+                    warnings.warn(
+                        "coco-val df stores a non-integral ref_len "
+                        f"({ref_len!r}) — treating it as the PRE-LOGGED "
+                        "log(N) this repo wrote before r3.  Re-run "
+                        "scripts/build_cider_df.py to refresh the blob.",
+                        stacklevel=2)
+                    self.log_ref_len = ref_len
             else:
                 self.log_ref_len = COCO_VAL_LOG_REF_LEN
         else:
@@ -226,7 +247,10 @@ def build_doc_frequency(caption_groups, n: int = N_DEFAULT) -> Dict:
         for g in seen:
             df[g] += 1.0
     return {"document_frequency": dict(df),
-            "ref_len": float(max(n_docs, 1))}
+            "ref_len": float(max(n_docs, 1)),
+            # authoritative format marker: _load_df must not have to
+            # guess whether ref_len is a raw count or pre-logged
+            "df_format": "raw_count"}
 
 
 def save_doc_frequency(blob: Dict, path: str) -> None:

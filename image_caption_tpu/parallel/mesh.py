@@ -90,6 +90,55 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# one (source params, mesh) -> replicated-copy entry per pytree; strong
+# refs to BOTH key objects keep their id()s from being recycled while
+# cached (a GC'd mesh whose address is reused must not produce a stale
+# hit placed on the dead mesh's devices).  Small FIFO capacity: serving
+# holds two pytrees live at once (extractor + captioner) and a one-entry
+# cache would re-broadcast both every batch as they alternate.
+_REPLICATED_CACHE: dict = {}
+_REPLICATED_CAPACITY = 4
+
+
+def replicate_cached(mesh: Mesh, params):
+    """Broadcast a param pytree over the mesh ONCE and reuse the copy.
+
+    Hot loops (per-batch sharded extraction, per-request decode) would
+    otherwise re-broadcast the full pytree — hundreds of MB for the
+    extractor — on every call and discard it (ADVICE r2)."""
+    key = (id(params), id(mesh))
+    hit = _REPLICATED_CACHE.get(key)
+    if hit is not None:
+        return hit[2]
+    repl = replicated(mesh)
+    out = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+    while len(_REPLICATED_CACHE) >= _REPLICATED_CAPACITY:
+        _REPLICATED_CACHE.pop(next(iter(_REPLICATED_CACHE)))
+    _REPLICATED_CACHE[key] = (params, mesh, out)
+    return out
+
+
+def decode_placement(mesh: Optional[Mesh], params, batch_size: int):
+    """Placement for mesh-sharded batch-parallel decode: ``(params,
+    place)`` with params replicated (cached) and ``place`` putting each
+    batch onto the ``data`` axis — or ``(params, None)`` when the mesh
+    can't shard it (no mesh / single device / multi-process / batch not
+    divisible by the data axis; multi-process keeps the
+    replicated-redundant decode).  Shared by the epoch-valid/evaluation
+    decode (train/loop.decode_split) and serving (serve.caption_images)
+    so the eligibility rule can't drift between them.  Callers must also
+    bypass the Pallas attention kernel on this path: a mosaic custom
+    call carries no SPMD partitioning rule, and XLA is at decode parity
+    (docs/performance.md)."""
+    if (mesh is None or mesh.devices.size <= 1
+            or jax.process_count() != 1
+            or batch_size % mesh.shape[DATA_AXIS] != 0):
+        return params, None
+    dshard = data_sharding(mesh)
+    return replicate_cached(mesh, params), \
+        lambda x: jax.device_put(x, dshard)
+
+
 # ---------------------------------------------------------------------------
 # Parameter partition rules
 # ---------------------------------------------------------------------------

@@ -25,10 +25,12 @@ IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 def list_images(image_dir: str) -> List[str]:
     """Deterministic (sorted) image listing, non-recursive — the order IS
-    the output order."""
+    the output order.  Regular files only: a directory named
+    'thumbnails.jpg' would otherwise kill a fail-loud run."""
     return sorted(
-        os.path.join(image_dir, f) for f in os.listdir(image_dir)
-        if f.lower().endswith(IMAGE_EXTS))
+        p for f in os.listdir(image_dir)
+        if f.lower().endswith(IMAGE_EXTS)
+        and os.path.isfile(p := os.path.join(image_dir, f)))
 
 
 def caption_images(cfg, image_paths: Sequence[str],
@@ -71,7 +73,6 @@ def caption_images(cfg, image_paths: Sequence[str],
     fail-loud, NOT the reference's silent ``except: continue``
     (detect_for_preprocess.py:116-124).
     """
-    import jax
     import jax.numpy as jnp
     from .data.vocab import decode_captions
     from .models.decoding import beam_score_mode, beam_search, greedy_decode
@@ -84,13 +85,17 @@ def caption_images(cfg, image_paths: Sequence[str],
     n = len(image_paths)
     captions: List[Optional[str]] = [None] * n
 
-    sharded = (mesh is not None and mesh.devices.size > 1 and not frcnn
-               and jax.process_count() == 1
-               and batch_size % mesh.shape[pmesh.DATA_AXIS] == 0)
-    if sharded:
-        captioner_params = jax.device_put(captioner_params,
-                                          pmesh.replicated(mesh))
-        use_pallas = False
+    # shared eligibility rule + cached params broadcast (a per-request
+    # caller must not pay a full pytree broadcast every call); the decode
+    # consumes the extraction program's already-data-sharded outputs, so
+    # the per-batch `place` is unused here
+    sharded = False
+    if not frcnn:
+        captioner_params, place = pmesh.decode_placement(
+            mesh, captioner_params, batch_size)
+        sharded = place is not None
+        if sharded:
+            use_pallas = False           # see decode_placement docstring
 
     def decode(feats, poss) -> np.ndarray:
         # the captioner consumes the model's position width (84 YOLO /

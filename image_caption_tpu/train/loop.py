@@ -53,14 +53,9 @@ def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
     keep the replicated-redundant decode (every host decodes the split;
     only the main process writes)."""
     from ..models.decoding import beam_score_mode, beam_search
-    place = None
-    if (mesh is not None and mesh.devices.size > 1
-            and jax.process_count() == 1
-            and batch_size % mesh.shape[pmesh.DATA_AXIS] == 0):
-        params = jax.device_put(params, pmesh.replicated(mesh))
-        dshard = pmesh.data_sharding(mesh)
-        place = lambda x: jax.device_put(x, dshard)  # noqa: E731
-        use_pallas = False
+    params, place = pmesh.decode_placement(mesh, params, batch_size)
+    if place is not None:
+        use_pallas = False               # see decode_placement docstring
     out: List[Optional[str]] = [None] * split.num_images
     for feats, poss, idxs, real in ImageBatches(split, batch_size):
         if place is not None:

@@ -52,7 +52,11 @@ def _native_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.icx_load_letterboxed_batch.restype = None
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # OSError: unloadable .so; AttributeError: a stale binary missing
+        # the expected symbol (ensure_fresh_binary warns-and-continues
+        # when it can't rebuild) — both degrade to the PIL path, per this
+        # module's contract that a broken native backend never aborts a run
         _lib = None
     return _lib
 

@@ -349,29 +349,15 @@ def extract_features_roi(params: ExtractorParams,
                              max_obj=max_obj, num_classes=num_classes)
 
 
-# one (source params, mesh) -> replicated params entry; strong refs to
-# BOTH key objects keep their id()s from being recycled while cached (a
-# GC'd mesh whose address is reused must not produce a stale hit placed
-# on the dead mesh's devices)
-_REPLICATED: Dict = {}
-
-
 def replicate_extractor_params(mesh, params):
-    """Broadcast extractor params over the mesh ONCE and reuse the copy.
+    """Broadcast extractor params over the mesh ONCE and reuse the copy
+    (the shared identity cache in ``parallel.mesh.replicate_cached``).
 
     The ETL hot loop calls :func:`extract_features_sharded` per batch;
     without the cache every call would re-broadcast the full YOLOv5x +
     ResNet-101 pytree (hundreds of MB) and discard it."""
     from ..parallel import mesh as pmesh
-    key = (id(params), id(mesh))
-    hit = _REPLICATED.get(key)
-    if hit is not None:
-        return hit[2]
-    repl = pmesh.replicated(mesh)
-    out = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
-    _REPLICATED.clear()                  # hold at most one replicated copy
-    _REPLICATED[key] = (params, mesh, out)
-    return out
+    return pmesh.replicate_cached(mesh, params)
 
 
 FEATURE_MODES = ("crop", "roi")

@@ -252,6 +252,43 @@ def test_doc_frequency_roundtrip(tmp_path):
     assert not np.allclose(s_frozen, s_corpus)
 
 
+def test_df_ref_len_format_detection(tmp_path):
+    """Three on-disk generations of ref_len must all land on the same
+    log_ref_len: marked raw count (current writer), unmarked integral
+    raw count (published ruotianluo layout), and the pre-r3 blobs that
+    stored log(N) — re-logging those would silently corrupt every idf
+    term in RL rewards and eval scores."""
+    import math
+    import pickle
+    import warnings
+
+    from image_caption_tpu.metrics.cider import CiderD, build_doc_frequency
+
+    blob = build_doc_frequency([["a man rides"], ["a dog runs"],
+                                ["a man walks"]])
+    assert blob["df_format"] == "raw_count"
+
+    def load(b, name):
+        p = tmp_path / name
+        with open(p, "wb") as f:
+            pickle.dump(b, f)
+        return CiderD(df=str(p))
+
+    expected = math.log(3.0)
+    assert load(blob, "marked.p").log_ref_len == pytest.approx(expected)
+
+    unmarked = {k: v for k, v in blob.items() if k != "df_format"}
+    assert load(unmarked, "ruotianluo.p").log_ref_len == \
+        pytest.approx(expected)
+
+    legacy = dict(unmarked, ref_len=math.log(3.0))   # pre-r3: pre-logged
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = load(legacy, "legacy.p").log_ref_len
+    assert got == pytest.approx(expected)            # used as-is, not re-logged
+    assert any("PRE-LOGGED" in str(x.message) for x in w)
+
+
 def test_reward_computer_uses_frozen_df(tmp_path):
     from image_caption_tpu.metrics.cider import (build_doc_frequency,
                                                  save_doc_frequency)

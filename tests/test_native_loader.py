@@ -144,6 +144,43 @@ def test_return_ok_isolates_unreadable_images(jpeg_dir, tmp_path,
         monkeypatch.setattr(loader, "_lib", None)
 
 
+def test_stale_binary_missing_symbol_falls_back(jpeg_dir, monkeypatch):
+    """A loadable .so that lacks icx_load_letterboxed_batch (stale build
+    that ensure_fresh_binary warned about but could not rebuild) must
+    degrade to the PIL path, not raise AttributeError out of
+    _native_lib."""
+    import ctypes
+
+    class _EmptyLib:                      # loads fine, has no symbols
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    monkeypatch.setattr(loader, "_lib_checked", False)
+    monkeypatch.setattr(loader, "_lib", None)
+    monkeypatch.setattr(ctypes, "CDLL", lambda *_a, **_k: _EmptyLib())
+    assert not loader.native_available()
+    canv, _, _ = loader.load_letterboxed_batch(jpeg_dir[:1], 320)
+    ref, _, _ = loader.load_letterboxed(jpeg_dir[0], 320)
+    np.testing.assert_array_equal(canv[0], ref)
+    monkeypatch.setattr(loader, "_lib_checked", False)
+    monkeypatch.setattr(loader, "_lib", None)
+
+
+def test_native_abi_n_zero_returns(jpeg_dir):
+    """The exported C symbol itself must tolerate n=0 (the Python wrapper
+    happens to guard it, but the symbol is the public contract; the
+    pre-fix code underflowed reserve(nthreads-1) and threw across the
+    extern \"C\" boundary)."""
+    import ctypes
+
+    lib = loader._native_lib()
+    if lib is None:
+        pytest.skip("native loader not built")
+    arr = (ctypes.c_char_p * 1)(b"unused")
+    lib.icx_load_letterboxed_batch(arr, 0, 64, 0, 32, 4, None, None,
+                                   None, None)   # must simply return
+
+
 def test_empty_batch_returns_empty_arrays():
     canv, metas, sizes = loader.load_letterboxed_batch([], 320)
     assert canv.shape == (0, 320, 320, 3) and metas.shape == (0, 3)

@@ -98,6 +98,35 @@ def test_caption_images_sharded_matches_single(tiny_cfg, tiny_setup):
     assert sharded == single
 
 
+def test_decode_placement_rules_and_cache(tiny_cfg):
+    """The shared decode eligibility rule (train/loop.decode_split +
+    serve.caption_images): ineligible meshes return the params untouched
+    with place=None; eligible meshes replicate via the identity cache, so
+    a second call (the per-request serving pattern) returns the SAME
+    replicated pytree without re-broadcasting."""
+    import jax
+    from image_caption_tpu.models.captioner import init_captioner
+    from image_caption_tpu.parallel import mesh as pmesh
+
+    params = init_captioner(jax.random.PRNGKey(0), tiny_cfg.model)
+    mesh = pmesh.make_mesh()
+    assert mesh.devices.size == 8
+
+    p2, place = pmesh.decode_placement(None, params, 8)
+    assert p2 is params and place is None              # no mesh
+    p2, place = pmesh.decode_placement(mesh, params, 12)
+    assert p2 is params and place is None              # 12 % 8 != 0
+
+    r1, place = pmesh.decode_placement(mesh, params, 8)
+    assert place is not None
+    leaf = jax.tree_util.tree_leaves(r1)[0]
+    assert leaf.sharding == pmesh.replicated(mesh)
+    placed = place(np.zeros((8, 3), np.float32))
+    assert placed.sharding == pmesh.data_sharding(mesh)
+    r2, _ = pmesh.decode_placement(mesh, params, 8)
+    assert jax.tree_util.tree_leaves(r2)[0] is leaf    # cache hit
+
+
 def test_caption_images_skip_errors(tiny_cfg, tiny_setup, tmp_path):
     """skip_errors: a corrupt file yields None (an error JSONL record)
     without failing the run or disturbing its neighbors' captions; the
@@ -131,6 +160,9 @@ def test_caption_images_skip_errors(tiny_cfg, tiny_setup, tmp_path):
 def test_list_images_sorted_and_filtered(tmp_path):
     for name in ("b.jpg", "a.PNG", "c.txt", "d.jpeg"):
         (tmp_path / name).write_bytes(b"x")
+    # a DIRECTORY named like an image must be excluded — feeding it to
+    # the loader would kill a fail-loud run on a non-image
+    (tmp_path / "thumbnails.jpg").mkdir()
     got = [os.path.basename(p) for p in list_images(str(tmp_path))]
     assert got == ["a.PNG", "b.jpg", "d.jpeg"]
 
