@@ -18,12 +18,12 @@ Metrics (all single-chip):
   * rl_train_steps_per_sec — flagship SCST step, batch 32 (two-phase on
     axon: device sample -> host CIDEr-D/BLEU rewards -> device update);
     floor 1 step/s.
-  * caption_decode_throughput_greedy — KV-cached greedy scan, batch 128;
-    floor = the beam north-star per-chip share (greedy must never be
-    slower than the beam target).
+  * caption_decode_throughput_greedy — KV-cached greedy scan, batch 768
+    (the measured single-chip peak); floor = the beam north-star per-chip
+    share (greedy must never be slower than the beam target).
   * caption_decode_throughput_beam3 (HEADLINE, printed last) — beam-3
-    KV-cached ancestry beam, batch 128; north star >= 500 captions/s on a
-    v5e-8 => 62.5/chip, vs_baseline = measured / 62.5.
+    KV-cached ancestry beam, batch 160 (the measured peak); north star
+    >= 500 captions/s on a v5e-8 => 62.5/chip, vs_baseline = measured/62.5.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline > 1 means
 above target/floor.  Timings force a tiny host fetch (block_until_ready is
@@ -238,7 +238,10 @@ def bench_rl_step(batch=32):
             "vs_baseline": round(v / RL_STEPS_FLOOR, 3)}
 
 
-def bench_greedy(batch=128):
+def bench_greedy(batch=768):
+    """Batch 768 = the measured single-chip throughput peak (r3 sweep:
+    3.5k captions/s at 128, 6.0k at 512, 6.3k at 768, 5.7k at 1024 —
+    docs/performance.md)."""
     import jax
     from image_caption_tpu.models.captioner import init_captioner
     from image_caption_tpu.models.decoding import greedy_decode
@@ -258,7 +261,10 @@ def bench_greedy(batch=128):
             "vs_baseline": round(v / BEAM_PER_CHIP_TARGET, 3)}
 
 
-def bench_beam(batch=128, beam=3):
+def bench_beam(batch=160, beam=3):
+    """Batch 160 = the measured beam-3 throughput peak (r3 sweep: 820
+    captions/s at 128, 960 at 160, 904 at 192, 800 at 224 —
+    docs/performance.md)."""
     import jax
     from image_caption_tpu.models.captioner import init_captioner
     from image_caption_tpu.models.decoding import beam_score_mode, beam_search
