@@ -171,10 +171,13 @@ def bench_extraction_roi(batch=128):
                              max_obj=5, detect_size=448)
 
 
-def bench_extraction_roi_fast(batch=128):
+def bench_extraction_roi_fast(batch=384):
     """The roi recipe at its measured fastest quality point
     (trunk 320 / detect 320, docs/performance.md roi table) — the config
-    that clears the 625 img/s/chip north-star share on one chip."""
+    that clears the 625 img/s/chip north-star share on one chip.  Batch
+    384 per the r3 sweep (1019/1158/1227/1290 img/s at 128/256/384/512 —
+    still rising at 512 but flattening; 384 keeps the bench input under
+    2 GB)."""
     return _bench_roi_config("feature_extraction_throughput_roi_fast",
                              batch, max_obj=5, trunk_size=320,
                              detect_size=320)
