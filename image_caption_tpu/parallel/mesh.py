@@ -93,11 +93,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # one (source params, mesh) -> replicated-copy entry per pytree; strong
 # refs to BOTH key objects keep their id()s from being recycled while
 # cached (a GC'd mesh whose address is reused must not produce a stale
-# hit placed on the dead mesh's devices).  Small FIFO capacity: serving
-# holds two pytrees live at once (extractor + captioner) and a one-entry
-# cache would re-broadcast both every batch as they alternate.
+# hit placed on the dead mesh's devices).  Capacity 2, FIFO: serving
+# holds exactly two pytrees live at once (extractor + captioner) and a
+# one-entry cache would re-broadcast both every batch as they alternate;
+# anything larger needlessly pins old replicated copies (device HBM!) —
+# e.g. per-epoch decode params would otherwise accumulate.
 _REPLICATED_CACHE: dict = {}
-_REPLICATED_CAPACITY = 4
+_REPLICATED_CAPACITY = 2
 
 
 def replicate_cached(mesh: Mesh, params):
