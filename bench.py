@@ -215,10 +215,21 @@ def bench_xe_step(batch=32, scan_k=32):
 def bench_rl_step(batch=32):
     """SCST train step (the reference's most expensive mode,
     core/models.py:184-195: forward + sample + per-batch string rewards +
-    update).  Uses whichever reward scorer is available (C++ fast path
-    when built, Python fallback otherwise) and whichever step mode the
-    backend supports (two-phase on the tunneled axon runtime)."""
+    update), measured in the PRODUCTION configuration:
+
+      * frozen CIDEr df (loss.py:112-116, df='coco-val') — synthesized
+        over synthetic reference captions and written next to the bench
+        data so the scorer runs the frozen-df mode users train with, not
+        the per-batch corpus fallback;
+      * the pipelined two-phase schedule (rl.pipeline_depth=1 default):
+        host reward scoring of step k overlaps device sampling of k+1,
+        so throughput is steady-state over a run of steps, not a
+        serialized single step."""
+    import tempfile
+
     import jax
+    from image_caption_tpu.metrics.cider import (build_doc_frequency,
+                                                 save_doc_frequency)
     from image_caption_tpu.train.loop import RLTrainer
     if SMOKE:
         batch = 4
@@ -226,18 +237,44 @@ def bench_rl_step(batch=32):
     m = cfg.model
     vocab = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
     vocab.update({f"w{i}": i for i in range(4, m.num_vocab)})
+
+    # frozen df over synthetic per-image caption groups (same vocab the
+    # sampled sequences decode into, so df lookups hit real entries)
+    rng_np = np.random.RandomState(1)
+    groups = [[" ".join(f"w{t}" for t in row)
+               for row in rng_np.randint(4, m.num_vocab, size=(5, 12))]
+              for _ in range(64 if SMOKE else 1024)]
+    df_dir = tempfile.mkdtemp(prefix="icx_bench_df_")
+    save_doc_frequency(build_doc_frequency(groups),
+                       os.path.join(df_dir, "coco-val-df.p"))
+    cfg = cfg.with_overrides(**{"data.data_path": df_dir})
+
     trainer = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(0))
-    feats, pos, caps = trainer.shard(_fake_caption_batch(m, batch))
+    assert trainer.reward_computer.uses_frozen_df, \
+        "bench df was not picked up — the measured reward mode is wrong"
+    batch_dev = trainer.shard(_fake_caption_batch(m, batch))
 
-    def step():
-        # two-phase mode syncs on the sampled sequences internally; the
-        # returned metrics floats force the final sync either way
-        return trainer.train_step(feats, pos, caps)["loss"]
+    def run(n):
+        mets = None
+        for _ in range(n):
+            mets = trainer.train_step_device(batch_dev)
+        # drain the pipelined tail (no-op + last metrics in callback mode)
+        mets = trainer.flush() or mets
+        return float(mets["loss"])               # sync
 
-    dt = _median_time(step, warmup=2, iters=5)
+    run(1 if SMOKE else 3)                       # compile sample + update
+    n = 2 if SMOKE else 20
+    ts = []
+    for _ in range(1 if SMOKE else 3):
+        t0 = time.perf_counter()
+        run(n)
+        ts.append((time.perf_counter() - t0) / n)
+    dt = sorted(ts)[len(ts) // 2]
     v = 1.0 / dt
+    mode = "pipelined" if trainer._pipeline else "serial"
     return {"metric": "rl_train_steps_per_sec",
-            "value": round(v, 2), "unit": f"steps/sec (batch {batch})",
+            "value": round(v, 2),
+            "unit": f"steps/sec (batch {batch}, frozen df, {mode})",
             "vs_baseline": round(v / RL_STEPS_FLOOR, 3)}
 
 

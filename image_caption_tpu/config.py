@@ -107,6 +107,14 @@ class RLConfig:
     # dormant multi-sample machinery (loss.py:140-141,158-159) as a real
     # leave-in mean baseline over the samples
     num_samples: int = 1
+    # two-phase (callback-free) schedule only: depth 1 overlaps the host
+    # reward scoring of step k with the device sampling of step k+1 —
+    # sampling then runs one update stale (the classic pipelined-SCST
+    # off-by-one; the UPDATE still differentiates fresh current-params
+    # logprobs of the scored sequences).  0 = the reference's strictly
+    # serial sample->score->update schedule (core/models.py:184-195),
+    # bit-identical to the pure_callback mode.
+    pipeline_depth: int = 1
 
 
 @dataclass(frozen=True)

@@ -111,6 +111,10 @@ def replicate_cached(mesh: Mesh, params):
     key = (id(params), id(mesh))
     hit = _REPLICATED_CACHE.get(key)
     if hit is not None:
+        # LRU refresh (ADVICE r3): move the hit to the end so a third
+        # occasional pytree interleaving with two hot ones evicts the
+        # stale entry, not a hot one (re-broadcast is hundreds of MB)
+        _REPLICATED_CACHE[key] = _REPLICATED_CACHE.pop(key)
         return hit[2]
     repl = replicated(mesh)
     out = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)

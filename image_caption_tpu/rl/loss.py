@@ -164,6 +164,7 @@ def rl_sample_sequence(params, cfg: Config, batch, *,
 def rl_composite_loss(params, cfg: Config, batch, reward_callback=None, *,
                       rewards: Optional[jnp.ndarray] = None,
                       self_cider: Optional[jnp.ndarray] = None,
+                      sample_seq: Optional[jnp.ndarray] = None,
                       rng: Optional[jax.Array] = None,
                       deterministic: bool = True
                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -172,7 +173,16 @@ def rl_composite_loss(params, cfg: Config, batch, reward_callback=None, *,
     Rewards come either from ``reward_callback`` (jax.pure_callback inside
     the step — preferred where the runtime supports host callbacks) or as
     precomputed ``rewards``/``self_cider`` arrays (two-phase mode for
-    runtimes without host callbacks, e.g. axon_pjrt)."""
+    runtimes without host callbacks, e.g. axon_pjrt).
+
+    ``sample_seq`` (two-phase mode): the already-sampled [B, N, T]
+    sequences the rewards were scored on.  When given, the structure term
+    gathers the CURRENT logprobs of exactly those sequences instead of
+    re-deriving the sample from (params, rng) — required by the pipelined
+    schedule (rl.pipeline_depth > 0) where the update runs one step after
+    the sample and the params have since moved.  With unmoved params and
+    the same rng the explicit and re-derived sequences are bit-identical,
+    so the serial two-phase path passes it too (one less argmax)."""
     features, positions, captions = batch
     drop_rng = sample_rng = None
     if rng is not None:
@@ -190,9 +200,14 @@ def rl_composite_loss(params, cfg: Config, batch, reward_callback=None, *,
         lm_loss = jnp.zeros((), logits.dtype)
 
     if w > 0:
-        sample_seq, logprobs = sample_from_logits(logits, sample_rng,
-                                                  cfg.rl.sample_mode,
-                                                  cfg.rl.num_samples)
+        if sample_seq is not None:
+            assert rewards is not None, \
+                "explicit sample_seq implies precomputed rewards"
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+        else:
+            sample_seq, logprobs = sample_from_logits(logits, sample_rng,
+                                                      cfg.rl.sample_mode,
+                                                      cfg.rl.num_samples)
         if rewards is None:
             assert reward_callback is not None
             rewards, self_cider = reward_callback(sample_seq, target)

@@ -34,13 +34,15 @@ def backend_supports_callbacks() -> bool:
 
 
 def rl_train_step(state: TrainState, batch, rng, *, cfg: Config, tx,
-                  reward_callback=None, rewards=None, self_cider=None
+                  reward_callback=None, rewards=None, self_cider=None,
+                  sample_seq=None
                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     step_rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(p):
         return rl_composite_loss(p, cfg, batch, reward_callback,
                                  rewards=rewards, self_cider=self_cider,
+                                 sample_seq=sample_seq,
                                  rng=step_rng, deterministic=False)
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -95,7 +97,10 @@ def compile_rl_eval_step(cfg: Config, mesh: Mesh, state: TrainState,
 
 def compile_rl_sample_step(cfg: Config, mesh: Mesh, state: TrainState):
     """Phase 1: jitted sampled-sequence computation.  ``fn(params, batch,
-    rng, step) -> sample_seq [B, T-1] int32``."""
+    rng, step) -> sample_seq [B, N, T-1] int32``.  ``step`` selects the
+    per-step rng fold — the device step counter in the serial schedule, a
+    host-tracked int in the pipelined one (the device counter lags the
+    sample there, train/loop.py:RLTrainer.train_step_device)."""
     from ..rl.loss import rl_sample_sequence
     from ..train.step import _state_shardings
     state_sh = _state_shardings(mesh, state)
@@ -113,8 +118,17 @@ def compile_rl_sample_step(cfg: Config, mesh: Mesh, state: TrainState):
 
 def compile_rl_train_step_two_phase(cfg: Config, mesh: Mesh,
                                     state: TrainState, donate: bool = True):
-    """Phase 2: jitted update taking host-computed rewards as inputs.
-    ``fn(state, batch, rewards, self_cider, rng) -> (state, metrics)``."""
+    """Phase 2: jitted update taking the sampled sequences and their
+    host-computed rewards as inputs.
+    ``fn(state, batch, sample_seq, rewards, self_cider, rng) ->
+    (state, metrics)``.
+
+    ``sample_seq`` is the phase-1 output passed back in: the update
+    differentiates the CURRENT params' logprobs gathered at exactly the
+    sequences the rewards were scored on.  This makes the update correct
+    under the pipelined schedule (rl.pipeline_depth > 0, where the sample
+    ran one update earlier) and bit-identical to the re-derivation under
+    the serial schedule (same params + rng => same sample)."""
     from ..train.step import _state_shardings
     tx = make_optimizer(cfg.train.learning_rate)
     state_sh = _state_shardings(mesh, state)
@@ -124,12 +138,14 @@ def compile_rl_train_step_two_phase(cfg: Config, mesh: Mesh,
     metric_sh = {k: repl for k in ("loss", "language_model_loss",
                                    "structure_loss", "reward")}
 
-    def fn(state, batch, rewards, self_cider, rng):
+    def fn(state, batch, sample_seq, rewards, self_cider, rng):
         return rl_train_step(state, batch, rng, cfg=cfg, tx=tx,
-                             rewards=rewards, self_cider=self_cider)
+                             rewards=rewards, self_cider=self_cider,
+                             sample_seq=sample_seq)
 
     return jax.jit(fn,
-                   in_shardings=(state_sh, batch_sh, data_sh, data_sh, repl),
+                   in_shardings=(state_sh, batch_sh, data_sh, data_sh,
+                                 data_sh, repl),
                    out_shardings=(state_sh, metric_sh),
                    donate_argnums=(0,) if donate else ())
 
@@ -144,15 +160,16 @@ def compile_rl_eval_step_two_phase(cfg: Config, mesh: Mesh,
     metric_sh = {k: repl for k in ("loss", "language_model_loss",
                                    "structure_loss", "reward")}
 
-    def fn(params, batch, rewards, self_cider):
+    def fn(params, batch, sample_seq, rewards, self_cider):
         _, metrics = rl_composite_loss(params, cfg, batch, rewards=rewards,
-                                       self_cider=self_cider, rng=None,
+                                       self_cider=self_cider,
+                                       sample_seq=sample_seq, rng=None,
                                        deterministic=True)
         return metrics
 
     return jax.jit(fn,
                    in_shardings=(state_sh.params, batch_sh, data_sh,
-                                 data_sh),
+                                 data_sh, data_sh),
                    out_shardings=metric_sh)
 
 

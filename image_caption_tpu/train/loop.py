@@ -138,6 +138,12 @@ class Trainer:
         return {k: float(v) for k, v in
                 self._eval_step(self.state.params, batch).items()}
 
+    def flush(self):
+        """Drain any in-flight pipelined work (no-op for the XE trainer;
+        see :meth:`RLTrainer.flush`).  Returns the drained step's metrics
+        or ``None``."""
+        return None
+
     def generate_caption(self, features, positions,
                          idx_to_word: Dict[int, str], *,
                          beam_size: Optional[int] = None,
@@ -284,6 +290,11 @@ class RLTrainer(Trainer):
             two_phase = (jax.process_count() > 1
                          or not backend_supports_callbacks())
         self._two_phase = two_phase
+        # pipelined two-phase schedule (rl.pipeline_depth): the host
+        # scoring of step k overlaps the device sampling of step k+1
+        self._pipeline = two_phase and cfg.rl.pipeline_depth > 0
+        self._pending = None           # (batch, sample_seq) awaiting update
+        self._step_counter = None      # host-side rng-fold counter
         if self._two_phase:
             self._sample_step = compile_rl_sample_step(cfg, self.mesh,
                                                        self.state)
@@ -343,23 +354,71 @@ class RLTrainer(Trainer):
             self_cider[r] = np.asarray(sc).reshape(-1, n)
         return rewards, self_cider
 
-    def train_step_device(self, batch):
-        if not self._two_phase:
-            return super().train_step_device(batch)
-        seq = self._sample_step(self.state.params, batch, self.step_rng,
-                                self.state.step)
+    def _score_and_update(self, batch, seq):
+        """Host-score ``seq`` and dispatch the update for ``batch``."""
         rewards, self_cider = self._host_rewards(seq, batch[2])
         self.state, metrics = self._update_step(
-            self.state, batch, self.shard(rewards),
+            self.state, batch, seq, self.shard(rewards),
             self.shard(self_cider), self.step_rng)
+        return metrics
+
+    def train_step_device(self, batch):
+        """One SCST update (async).
+
+        Serial two-phase schedule (rl.pipeline_depth=0 — the reference's,
+        core/models.py:184-195): sample -> host-score -> update, the
+        device idle for the whole host scoring.
+
+        Pipelined schedule (depth 1, the default): dispatch the sample for
+        THIS batch first, then score + update the PREVIOUS batch while the
+        device runs it — the host n-gram scoring and the device programs
+        overlap, hiding whichever is cheaper.  Sampling therefore runs one
+        update stale (classic pipelined SCST); the update itself stays
+        exact — it differentiates fresh current-params logprobs of the
+        scored sequences.  Returns the PREVIOUS step's metrics (``None``
+        on the first call); :meth:`flush` drains the last one."""
+        if not self._two_phase:
+            return super().train_step_device(batch)
+        if not self._pipeline:
+            seq = self._sample_step(self.state.params, batch, self.step_rng,
+                                    self.state.step)
+            return self._score_and_update(batch, seq)
+        if self._step_counter is None:
+            # sync once per pipeline start (epoch start / post-restore):
+            # the device counter is exact there because nothing is pending
+            self._step_counter = int(jax.device_get(self.state.step))
+        seq = self._sample_step(self.state.params, batch, self.step_rng,
+                                np.int32(self._step_counter))
+        self._step_counter += 1
+        metrics = None
+        if self._pending is not None:
+            metrics = self._score_and_update(*self._pending)
+        self._pending = (batch, seq)
+        return metrics
+
+    def flush(self):
+        """Drain the pending pipelined update (if any) so ``state`` is
+        current — call before reading params for eval/decode/checkpoint.
+        Returns the drained step's metrics or ``None``."""
+        metrics = None
+        if self._pending is not None:
+            metrics = self._score_and_update(*self._pending)
+            self._pending = None
+            self._step_counter = None
         return metrics
 
     def train_step(self, features, positions, captions):
         batch = self.shard((features, positions, captions))
         metrics = self.train_step_device(batch)
+        # the blocking per-step API always returns THIS batch's metrics:
+        # under the pipelined schedule the pending update is drained
+        # immediately (so step-wise results match the serial schedule
+        # exactly — overlap only engages through train_step_device)
+        metrics = self.flush() or metrics
         return {k: float(v) for k, v in metrics.items()}
 
     def compute_loss(self, features, positions, captions):
+        self.flush()
         batch = self.shard((features, positions, captions))
         if not self._two_phase:
             return {k: float(v) for k, v in
@@ -367,7 +426,7 @@ class RLTrainer(Trainer):
         seq = self._sample_step_eval(self.state.params, batch)
         rewards, self_cider = self._host_rewards(seq, batch[2])
         metrics = self._eval_step_2p(
-            self.state.params, batch, self.shard(rewards),
+            self.state.params, batch, seq, self.shard(rewards),
             self.shard(self_cider))
         return {k: float(v) for k, v in metrics.items()}
 
@@ -484,6 +543,7 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
                                      for k in trainer.metric_keys))
 
             if global_it // t.sample_every > prev_it // t.sample_every:
+                trainer.flush()       # params must be current for decode
                 tokens, _ = greedy_decode(
                     trainer.state.params, cfg.model,
                     fixed_train[0][:1], fixed_train[1][:1])
@@ -495,6 +555,7 @@ def train(cfg: Config, *, num_epochs: Optional[int] = None,
                     print(f"[sample it {global_it}] {cap}")
 
         # ---- per-epoch evaluation (main.py:104-149) ----
+        trainer.flush()               # drain the pipelined RL tail
         train_loss = _epoch_loss(trainer, train_batches,
                                  limit=len(valid_batches))
         valid_loss = _epoch_loss(trainer, valid_batches)

@@ -44,3 +44,100 @@ def test_two_phase_matches_callback_path(flagship_tiny_cfg, monkeypatch):
     a = t_cb.compute_loss(*batch)
     b = t_2p.compute_loss(*batch)
     np.testing.assert_allclose(b["loss"], a["loss"], rtol=1e-4, atol=1e-5)
+
+
+def _force_two_phase(monkeypatch):
+    import image_caption_tpu.rl.step as rstep
+    monkeypatch.setattr(rstep, "backend_supports_callbacks", lambda: False)
+
+
+def _override(cfg, **kw):
+    return cfg.with_overrides(**kw)
+
+
+def test_pipelined_plumbing_matches_serial_lr0(flagship_tiny_cfg,
+                                               monkeypatch):
+    """With learning_rate=0 the params never move, so the pipelined
+    schedule's one-step sampling staleness is vacuous: every per-step
+    metric must bit-match the serial two-phase schedule (proves the
+    sample/reward/update plumbing lines up batch-for-batch)."""
+    _force_two_phase(monkeypatch)
+    cfg = _override(flagship_tiny_cfg, **{"train.learning_rate": 0.0})
+    vocab = _make_vocab(cfg.model.num_vocab)
+    batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(4)]
+
+    t_serial = RLTrainer(_override(cfg, **{"rl.pipeline_depth": 0}), vocab,
+                         rng=jax.random.PRNGKey(3))
+    assert t_serial._two_phase and not t_serial._pipeline
+    serial = [t_serial.train_step_device(t_serial.shard(b))
+              for b in batches]
+
+    t_pipe = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(3))
+    assert t_pipe._two_phase and t_pipe._pipeline
+    piped = [t_pipe.train_step_device(t_pipe.shard(b)) for b in batches]
+    piped.append(t_pipe.flush())
+    assert piped[0] is None          # one-step metric latency
+    assert t_pipe._pending is None
+    for i, (a, b) in enumerate(zip(serial, piped[1:])):
+        for key in ("loss", "structure_loss", "reward"):
+            np.testing.assert_allclose(
+                np.asarray(b[key]), np.asarray(a[key]), rtol=1e-6,
+                atol=1e-7, err_msg=f"step {i} {key}")
+    assert int(jax.device_get(t_pipe.state.step)) == len(batches)
+
+
+def test_pipelined_first_update_and_blocking_api(flagship_tiny_cfg,
+                                                 monkeypatch):
+    """With lr > 0: (a) the FIRST pipelined update is bit-identical to the
+    serial schedule (same init params sample); (b) the blocking
+    ``train_step`` API drains per call, so it reproduces the serial
+    trajectory exactly even with pipelining enabled."""
+    _force_two_phase(monkeypatch)
+    cfg = flagship_tiny_cfg
+    vocab = _make_vocab(cfg.model.num_vocab)
+    batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(3)]
+
+    t_serial = RLTrainer(_override(cfg, **{"rl.pipeline_depth": 0}), vocab,
+                         rng=jax.random.PRNGKey(5))
+    assert not t_serial._pipeline
+    serial = [t_serial.train_step(*b) for b in batches]
+
+    # (a) first async update matches
+    t_pipe = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(5))
+    assert t_pipe.train_step_device(t_pipe.shard(batches[0])) is None
+    first = t_pipe.flush()
+    np.testing.assert_allclose(np.asarray(first["loss"]),
+                               serial[0]["loss"], rtol=1e-6, atol=1e-7)
+
+    # (b) blocking API == serial trajectory
+    t_block = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(5))
+    assert t_block._pipeline
+    blocked = [t_block.train_step(*b) for b in batches]
+    for i, (a, b) in enumerate(zip(serial, blocked)):
+        np.testing.assert_allclose(b["loss"], a["loss"], rtol=1e-5,
+                                   atol=1e-6, err_msg=f"step {i}")
+
+
+def test_pipelined_staleness_converges_and_counts(flagship_tiny_cfg,
+                                                  monkeypatch):
+    """Async pipelined training with lr > 0: updates apply once per batch
+    (step counter exact), losses stay finite, and compute_loss flushes
+    the pending tail before reading params."""
+    _force_two_phase(monkeypatch)
+    cfg = flagship_tiny_cfg
+    vocab = _make_vocab(cfg.model.num_vocab)
+    batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(5)]
+
+    t = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(9))
+    for b in batches[:3]:
+        t.train_step_device(t.shard(b))
+    assert t._pending is not None
+    # compute_loss must see all 3 updates applied
+    m = t.compute_loss(*batches[0])
+    assert t._pending is None
+    assert int(jax.device_get(t.state.step)) == 3
+    assert np.isfinite(m["loss"])
+    for b in batches[3:]:
+        t.train_step_device(t.shard(b))
+    t.flush()
+    assert int(jax.device_get(t.state.step)) == len(batches)
