@@ -338,7 +338,26 @@ def topk_exact_2level(x: jnp.ndarray, k: int, chunk: int = 128):
     the top-k values has max >= c, and there are at most k values >= c, so
     those chunks are among the top-k chunks ranked by max.  Reducing to
     per-chunk maxima (one streaming pass) plus two tiny top_ks replaces the
-    big sort.  Returns (values, indices) sorted descending."""
+    big sort.  Returns (values, indices) sorted descending.
+
+    Tie behavior matches ``lax.top_k`` exactly (lowest index wins among
+    equal values) — load-bearing for beam parity on tie-heavy rows
+    (zero-padded batch items, duplicated images).  Two ingredients:
+    (1) chunk selection via ``lax.top_k`` over the chunk maxima inherits
+    its ascending-index tie rule, so when tied chunks compete at the k-th
+    slot the LOWER-index chunk (holding the lower global index of the
+    tied value) is kept — a counting argument shows the k selected chunks
+    always contain the k lax-chosen entries; (2) the selected chunks are
+    re-sorted into ASCENDING chunk order before the candidate top_k, so
+    candidate position order equals global index order and the final tie
+    break lands on the lowest global index, exactly like the full sort.
+    (Without (2), candidates concatenate in chunk-max rank order and a
+    value tied across chunks resolves to the higher-max chunk's instance
+    — e.g. x[5]=5, x[300]=9, x[301]=5, k=2 returned 301 where lax.top_k
+    returns 5.)  Caveat: -inf INPUT values can tie with the -inf padding
+    of the last partial chunk and return out-of-range (>= v) indices —
+    callers must keep inputs finite (the beam does: it ranks raw
+    classifier logits, never masked ones)."""
     v = x.shape[-1]
     n_chunks = -(-v // chunk)
     if n_chunks < k or v <= 2 * chunk:
@@ -350,6 +369,7 @@ def topk_exact_2level(x: jnp.ndarray, k: int, chunk: int = 128):
     xr = x.reshape(*x.shape[:-1], n_chunks, chunk)
     cmax = jnp.max(xr, axis=-1)                        # [.., n_chunks]
     _, cidx = jax.lax.top_k(cmax, k)                   # [.., k]
+    cidx = jnp.sort(cidx, axis=-1)                     # tie rule (2) above
     cand = jnp.take_along_axis(xr, cidx[..., None], axis=-2)
     cand = cand.reshape(*x.shape[:-1], k * chunk)
     vals, flat = jax.lax.top_k(cand, k)
