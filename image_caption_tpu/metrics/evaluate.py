@@ -2,9 +2,11 @@
 
 ``evaluate(...)`` loads ``{split}.references.pkl`` and
 ``{split}.candidate.captions.pkl`` from the reference-compatible layout and
-scores BLEU-1..4 / METEOR / ROUGE-L / CIDEr / CIDEr-D (METEOR and SPICE are
-skipped with a notice when their Java jars are absent — the reference ships
-SPICE commented out, evaluations.py:19).
+scores BLEU-1..4 / METEOR / ROUGE-L / CIDEr / CIDEr-D.  METEOR always
+reports a number: the jar when ``$ICX_METEOR_JAR`` is set (bit-parity with
+the reference), the in-process METEOR 1.5 otherwise (metrics/meteor_native).
+SPICE stays jar-gated and is skipped with a notice when absent — the
+reference itself ships SPICE commented out (evaluations.py:19).
 """
 
 from __future__ import annotations

@@ -1,13 +1,18 @@
-"""METEOR via the coco-caption Java jar (gated).
+"""METEOR — jar-exact when Java is available, in-process otherwise.
 
 The reference scores METEOR through coco-caption's Java subprocess
-(evaluations.py:8,16; Dockerfile:15-18 installs OpenJDK).  The jar is not
-vendored here; when ``$ICX_METEOR_JAR`` points at ``meteor-1.5.jar`` (plus
-its ``data/paraphrase-en.gz``) and ``java`` is on PATH, this wrapper speaks
-the same line protocol (``SCORE ||| ref1 ||| ... ||| hyp`` then ``EVAL |||
-stats``).  Otherwise ``compute_score`` raises ``MeteorUnavailable`` so
-callers can skip the metric, mirroring how the reference itself comments
-SPICE out when the tooling is absent (evaluations.py:19).
+(evaluations.py:8,16; Dockerfile:15-18 installs OpenJDK).  When
+``$ICX_METEOR_JAR`` points at ``meteor-1.5.jar`` (plus its
+``data/paraphrase-en.gz``) and ``java`` is on PATH, this wrapper speaks the
+same line protocol (``SCORE ||| ref1 ||| ... ||| hyp`` then ``EVAL |||
+stats``) — bit-parity with the reference.  Without a jar, scoring falls
+back to the in-process METEOR 1.5 reimplementation
+(:mod:`.meteor_native`) so evaluations always report a NUMBER, like every
+reference run does; ``Meteor().backend`` says which path produced it.
+
+``Meteor(require_jar=True)`` restores the strict jar-only behavior
+(raises :class:`MeteorUnavailable` when absent) — used by the fixture
+recorder, which must never record native output as jar truth.
 """
 
 from __future__ import annotations
@@ -33,10 +38,24 @@ def _jar_path() -> str:
     return jar
 
 
+def jar_available() -> bool:
+    try:
+        _jar_path()
+        return True
+    except MeteorUnavailable:
+        return False
+
+
 class Meteor:
-    def __init__(self):
+    def __init__(self, require_jar: bool = False):
         self._proc = None
         self._lock = threading.Lock()
+        self._native = None
+        if require_jar:
+            _jar_path()                      # raise now if absent
+            self.backend = "jar"
+        else:
+            self.backend = "jar" if jar_available() else "native"
 
     def _ensure_proc(self):
         if self._proc is not None:
@@ -50,6 +69,11 @@ class Meteor:
             universal_newlines=True, bufsize=1)
 
     def compute_score(self, gts: Dict, res: Dict):
+        if self.backend == "native":
+            from .meteor_native import MeteorNative
+            if self._native is None:
+                self._native = MeteorNative()
+            return self._native.compute_score(gts, res)
         assert sorted(gts.keys()) == sorted(res.keys())
         self._ensure_proc()
         scores = []
