@@ -93,14 +93,20 @@ def cmd_evaluation(args) -> None:
 
     mesh = pmesh.make_mesh(data=cfg.train.data_axis,
                            model=cfg.train.model_axis)
+    if jax.process_count() > 1:
+        # orbax returns default-placed (host-local) arrays; the pod-
+        # sharded decode needs params on the global mesh
+        from .train.step import place_state
+        state = place_state(mesh, state)
     candidates = decode_split(state.params, cfg, split,
                               cfg.train.batch_size, idx_to_word,
                               beam_size=args.beam_size, mesh=mesh)
-    save_pickle(candidates, os.path.join(
-        d.output_path, "candidates",
-        f"{args.split}.candidate.captions.pkl"))
+    if jax.process_index() == 0:
+        save_pickle(candidates, os.path.join(
+            d.output_path, "candidates",
+            f"{args.split}.candidate.captions.pkl"))
 
-    if split.references is not None:
+    if split.references is not None and jax.process_index() == 0:
         hypo = {i: [c] for i, c in enumerate(candidates)}
         scores = score_captions(split.references, hypo)
         write_scores(d.output_path, args.split, epoch, scores)

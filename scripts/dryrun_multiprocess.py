@@ -104,6 +104,61 @@ def _run_step(kind: str = "xe"):
     return float(metrics["loss"])
 
 
+def _run_decode() -> str:
+    """Mesh-sharded split decode (train/loop.decode_split) over a
+    deterministic synthetic split — beam 2 + greedy.  Multi-process runs
+    must produce the SAME caption list as the single-process run (each
+    host decodes only its row range, then allgathers the token arrays —
+    VERDICT r3 weak #7); returns a digest of all captions."""
+    import hashlib
+
+    import jax
+    import numpy as np
+
+    from image_caption_tpu.config import get_preset
+    from image_caption_tpu.data.dataset import CocoSplit
+    from image_caption_tpu.data.vocab import invert_vocab
+    from image_caption_tpu.models.captioner import init_captioner
+    from image_caption_tpu.parallel import mesh as pmesh
+    from image_caption_tpu.train.loop import decode_split
+
+    cfg = get_preset("maxlen49_64").with_overrides(**{
+        "model.num_vocab": 40, "model.max_length": 13,
+        "model.num_objects": 6})
+    m = cfg.model
+    rng = np.random.RandomState(0)
+    n_img = 22                           # not divisible by batch 8: pads
+    feats = rng.randn(n_img, m.num_slots, m.dim_features).astype(np.float32)
+    poss = rng.rand(n_img, m.num_slots, m.dim_positions).astype(np.float32)
+    split = CocoSplit(features=feats, positions=poss,
+                      captions=np.zeros((n_img, m.max_length), np.int32),
+                      image_idxs=np.arange(n_img),
+                      file_names=np.asarray([f"im{i}" for i in range(n_img)]))
+    word_to_idx = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+    word_to_idx.update({f"w{i}": i for i in range(4, m.num_vocab)})
+    idx_to_word = invert_vocab(word_to_idx)
+
+    params = init_captioner(jax.random.PRNGKey(3), m)
+    n = len(jax.devices())
+    mesh = pmesh.make_mesh(data=n // 2, model=2)
+    params = pmesh.shard_params(mesh, params)
+
+    caps_greedy = decode_split(params, cfg, split, 8, idx_to_word,
+                               mesh=mesh)
+    caps_beam = decode_split(params, cfg, split, 8, idx_to_word,
+                             beam_size=2, mesh=mesh)
+    assert len(caps_greedy) == len(caps_beam) == n_img
+    blob = "\n".join(caps_greedy + caps_beam).encode()
+    return hashlib.sha256(blob).hexdigest()
+
+
+def _run_kind(kind: str) -> str:
+    """One worker computation -> its printable result line."""
+    if kind == "decode":
+        return f"digest={_run_decode()}"
+    return f"loss={_run_step(kind):.6f}"
+
+
 def worker(coord: str, nprocs: int, pid: int, devs: int,
            kind: str = "xe") -> None:
     _force_cpu(devs)
@@ -112,9 +167,9 @@ def worker(coord: str, nprocs: int, pid: int, devs: int,
                                num_processes=nprocs, process_id=pid)
     assert jax.process_count() == nprocs
     assert len(jax.devices()) == nprocs * devs
-    loss = _run_step(kind)
+    line = _run_kind(kind)
     if pid == 0:
-        print(f"loss={loss:.6f}", flush=True)
+        print(line, flush=True)
 
 
 def driver(nprocs: int = 2, devs: int = 4, kind: str = "xe") -> int:
@@ -124,10 +179,11 @@ def driver(nprocs: int = 2, devs: int = 4, kind: str = "xe") -> int:
          str(nprocs * devs), kind],
         capture_output=True, text=True, timeout=600)
     assert base.returncode == 0, base.stderr[-2000:]
-    base_loss = float(base.stdout.strip().split("loss=")[1])
+    base_val = base.stdout.strip().split("=", 1)[1]
 
     coord = {"xe": "localhost:12989", "rl": "localhost:12990",
-             "rlfrozen": "localhost:12992"}[kind]
+             "rlfrozen": "localhost:12992",
+             "decode": "localhost:12993"}[kind]
     procs = [subprocess.Popen(
         [sys.executable, __file__, "worker", coord, str(nprocs), str(i),
          str(devs), kind], stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -135,11 +191,14 @@ def driver(nprocs: int = 2, devs: int = 4, kind: str = "xe") -> int:
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-2000:]
-    multi_loss = float(outs[0][0].strip().split("loss=")[1])
+    multi_val = outs[0][0].strip().split("=", 1)[1]
 
-    ok = abs(multi_loss - base_loss) < 1e-5
-    print(f"{kind} single={base_loss:.6f} "
-          f"multi({nprocs}x{devs})={multi_loss:.6f}"
+    if kind == "decode":                 # byte-identical caption digests
+        ok = multi_val == base_val
+    else:
+        ok = abs(float(multi_val) - float(base_val)) < 1e-5
+    print(f"{kind} single={base_val} "
+          f"multi({nprocs}x{devs})={multi_val}"
           f" {'OK' if ok else 'MISMATCH'}")
     return 0 if ok else 1
 
@@ -208,11 +267,10 @@ if __name__ == "__main__":
         kind = sys.argv[6] if len(sys.argv) > 6 else "xe"
         if int(nprocs) == 1:
             _force_cpu(int(devs))
-            loss = _run_step(kind)
-            print(f"loss={loss:.6f}", flush=True)
+            print(_run_kind(kind), flush=True)
         else:
             worker(coord, int(nprocs), int(pid), int(devs), kind)
-    elif len(sys.argv) > 1 and sys.argv[1] in ("rl", "rlfrozen"):
+    elif len(sys.argv) > 1 and sys.argv[1] in ("rl", "rlfrozen", "decode"):
         nprocs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
         devs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
         sys.exit(driver(nprocs, devs, kind=sys.argv[1]))
