@@ -53,3 +53,27 @@ def test_unknown_preset_lists_options():
     with pytest.raises(KeyError) as e:
         _load_config(args)
     assert "maxlen49_64" in str(e.value)
+
+
+def test_compile_cache_configured(tmp_path, monkeypatch):
+    """_enable_compile_cache points jax at the persistent compilation
+    cache (ICX_COMPILE_CACHE wins over the default location) and creates
+    the directory; an empty value disables without touching jax."""
+    import jax
+
+    from image_caption_tpu.main import _enable_compile_cache
+
+    cache = tmp_path / "xla-cache"
+    monkeypatch.setenv("ICX_COMPILE_CACHE", str(cache))
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        _enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        assert cache.is_dir()
+        # empty -> disabled, config untouched
+        monkeypatch.setenv("ICX_COMPILE_CACHE", "")
+        jax.config.update("jax_compilation_cache_dir", None)
+        _enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
