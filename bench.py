@@ -127,9 +127,10 @@ def _extract_inputs(batch):
 
 def _pipelined_time(fn, k=8, warmup=2, iters=5):
     """Steady-state per-call time: dispatch ``k`` calls back-to-back and
-    sync ONCE.  This is how production drives extraction — the ETL's
-    streaming loop (vision/etl.py: stream_extracted_batches) enqueues the
-    next batch while the previous one computes, so at steady state a
+    sync ONCE.  This is how production drives both extraction and decode
+    — the ETL's streaming loop (vision/etl.py: stream_extracted_batches)
+    and the split decoders (train/loop.py:decode_split, serve.py) enqueue
+    the next batch while the previous one computes, so at steady state a
     batch costs its device time, not device time + a full dispatch
     round-trip.  Single-dispatch timing instead adds the host<->device
     RTT (~30 ms over the axon tunnel — docs/performance.md Methodology)
@@ -318,8 +319,8 @@ def bench_greedy(batch=768):
     feats, pos, _ = _fake_caption_batch(m, batch)
     feats, pos = jax.device_put(feats), jax.device_put(pos)
 
-    dt = _median_time(lambda: greedy_decode(params, m, feats, pos,
-                                            use_pallas=True)[0])
+    dt = _pipelined_time(lambda: greedy_decode(params, m, feats, pos,
+                                               use_pallas=True)[0])
     v = batch / dt
     return {"metric": "caption_decode_throughput_greedy",
             "value": round(v, 2), "unit": "captions/sec/chip",
@@ -343,11 +344,11 @@ def bench_beam(batch=160, beam=3):
 
     # the flagship preset is the RL model, whose reference beam scores in
     # log-probs (model_RL.py:157,182); perf is mode-independent
-    dt = _median_time(lambda: beam_search(params, m, feats, pos,
-                                          beam_size=beam,
-                                          score_mode=beam_score_mode(
-                                              cfg.caption_model),
-                                          use_pallas=True))
+    dt = _pipelined_time(lambda: beam_search(params, m, feats, pos,
+                                             beam_size=beam,
+                                             score_mode=beam_score_mode(
+                                                 cfg.caption_model),
+                                             use_pallas=True))
     v = batch / dt
     return {"metric": "caption_decode_throughput_beam3",
             "value": round(v, 2), "unit": "captions/sec/chip",
