@@ -1,5 +1,8 @@
 #!/usr/bin/env python
-"""Run the slow test tier and append a dated pass log to docs/slow_suite.log.
+"""Run the slow test tier and append a dated run log to docs/slow_suite.log.
+
+Every run is appended — pass or fail — so the log is an honest record; the
+``exit:`` field distinguishes them (a pass entry shows ``exit: 0``).
 
 VERDICT r3 weak #6: the slow-marked tests (multi-process XE/RL/CLI dryruns,
 vision graphs, full-stack CLI) are the strongest correctness evidence in the
@@ -24,13 +27,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "docs", "slow_suite.log")
 
 
+_GIT_FAILED = "<git-unavailable>"
+
+
 def _git(*args):
     try:
         return subprocess.run(["git", *args], cwd=REPO, check=True,
                               capture_output=True, text=True
                               ).stdout.strip()
     except Exception:
-        return "unknown"
+        return _GIT_FAILED
+
+
+def _dirty_state():
+    status = _git("status", "--porcelain")
+    if status == _GIT_FAILED:
+        return "dirty-state unknown"
+    return "dirty" if status else "clean"
 
 
 def main(argv):
@@ -50,8 +63,7 @@ def main(argv):
     entry = [
         "=" * 72,
         f"date:     {datetime.now(timezone.utc).isoformat(timespec='seconds')}",
-        f"commit:   {_git('rev-parse', 'HEAD')} "
-        f"({'dirty' if _git('status', '--porcelain') else 'clean'})",
+        f"commit:   {_git('rev-parse', 'HEAD')} ({_dirty_state()})",
         f"machine:  {platform.node()} / {platform.machine()} / "
         f"python {platform.python_version()}",
         f"command:  {' '.join(cmd[1:])}",
