@@ -30,10 +30,18 @@ def score_captions(ref_captions: Dict, hypo_captions: Dict,
     A jar-gated scorer that cannot run still appears in the result as the
     string ``"skipped (<reason>)"`` so score files stay comparable with
     reference runs (which always report METEOR, core/evaluations.py:16);
-    numeric consumers must filter with ``is_scalar_score``."""
+    numeric consumers must filter with ``is_scalar_score``.
+
+    METEOR's value depends on the producing configuration (the jar runs 4
+    English matcher stages; the in-process scorer runs whatever this
+    environment supports — exact+stem without a WordNet corpus), so the
+    result carries a ``METEOR_backend`` string (e.g. ``native[exact,stem]``)
+    that ``write_scores`` persists next to the number: a scores file is
+    only comparable with runs of the same backend (docs/parity.md)."""
+    meteor = Meteor()
     scorers = [
         (Bleu(4), ["BLEU_1", "BLEU_2", "BLEU_3", "BLEU_4"]),
-        (Meteor(), "METEOR"),
+        (meteor, "METEOR"),
         (Rouge(), "ROUGE_L"),
         (Cider(), "CIDEr"),
         (CiderD(), "CIDEr-D"),
@@ -56,6 +64,8 @@ def score_captions(ref_captions: Dict, hypo_captions: Dict,
                 final_scores[name] = s
         else:
             final_scores[method] = scores
+        if method == "METEOR":
+            final_scores["METEOR_backend"] = meteor.backend_detail()
     return final_scores
 
 

@@ -96,6 +96,19 @@ class Meteor:
             final = float(self._proc.stdout.readline().strip())
         return final, scores
 
+    def backend_detail(self) -> str:
+        """The producing configuration, e.g. ``jar`` or
+        ``native[exact,stem]`` — persisted next to every METEOR score
+        (``METEOR_backend``) because the native scorer's stage set is
+        environment-dependent (no WordNet corpus => no synonym stage) and
+        scores are only comparable within one configuration."""
+        if self.backend == "jar":
+            return "jar"
+        from .meteor_native import MeteorNative
+        if self._native is None:
+            self._native = MeteorNative()
+        return "native[" + ",".join(self._native.stages) + "]"
+
     def method(self) -> str:
         return "METEOR"
 

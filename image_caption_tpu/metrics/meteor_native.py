@@ -9,8 +9,13 @@ pipeline in Python so METEOR produces a NUMBER in jar-less environments
   * matcher modules in priority order — exact, stem (Snowball English, the
     same algorithm as the jar's org.tartarus.snowball), synonym (WordNet
     synset overlap; engaged only when the nltk WordNet corpus is
-    installed), paraphrase (engaged only when the jar's
-    ``data/paraphrase-en.gz`` table is pointed to by ``$ICX_METEOR_DATA``);
+    installed).  The jar's fourth English stage — phrase-level paraphrase
+    matching against ``data/paraphrase-en.gz`` — is NOT implemented (the
+    aligner is word-to-word); environments that need it must score
+    through the jar (``$ICX_METEOR_JAR``).  ``MeteorNative().stages``
+    reports exactly the stages the aligner ran, and evaluations emit it
+    as ``METEOR_backend`` so every persisted score names its producing
+    configuration;
   * one-to-one alignment resolved by beam search maximizing, in order:
     covered words, fewer chunks, smaller sum of |i-j| match distances,
     earlier modules (the published Aligner criteria);
@@ -38,7 +43,6 @@ output for the replay test the moment a jar exists.
 
 from __future__ import annotations
 
-import gzip
 import math
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -48,7 +52,9 @@ ALPHA = 0.85
 BETA = 0.2
 GAMMA = 0.6
 DELTA = 0.75
-MODULE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)   # exact, stem, synonym, paraphrase
+MODULE_WEIGHTS = (1.0, 0.6, 0.8)        # exact, stem, synonym (the jar's
+                                        # 4th stage, paraphrase at 0.6, is
+                                        # jar-only — see module docstring)
 BEAM_WIDTH = 64
 
 # Built-in English function-word list (used when $ICX_METEOR_DATA does not
@@ -98,21 +104,27 @@ def normalize(text: str) -> List[str]:
 
 
 class _Stages:
-    """Matcher-module availability + caches (one instance per scorer)."""
+    """Matcher-module availability + caches (one instance per scorer).
 
-    def __init__(self):
+    ``enabled`` restricts the stage set (e.g. ``("exact",)`` for the
+    stage-ablation measurement in docs/parity.md); ``None`` = everything
+    available in this environment.  "exact" is always on."""
+
+    def __init__(self, enabled: Optional[Sequence[str]] = None):
         from nltk.stem.snowball import SnowballStemmer
-        self._stem = SnowballStemmer("english").stem
+        self._enabled = None if enabled is None else frozenset(enabled)
+        self._stem = (SnowballStemmer("english").stem
+                      if self._allows("stem") else None)
         self._stem_cache: Dict[str, str] = {}
         self._syn = None
-        try:                      # WordNet corpus is optional offline
-            from nltk.corpus import wordnet
-            wordnet.synsets("dog")          # force the LookupError now
-            self._syn = wordnet
-        except Exception:
-            self._syn = None
+        if self._allows("synonym"):
+            try:                  # WordNet corpus is optional offline
+                from nltk.corpus import wordnet
+                wordnet.synsets("dog")      # force the LookupError now
+                self._syn = wordnet
+            except Exception:
+                self._syn = None
         self._syn_cache: Dict[str, frozenset] = {}
-        self._paraphrase: Optional[Dict[Tuple[str, ...], set]] = None
         data_dir = os.environ.get("ICX_METEOR_DATA", "")
         if data_dir:
             fw = os.path.join(data_dir, "function.words")
@@ -122,13 +134,15 @@ class _Stages:
                         w.strip() for w in f if w.strip())
             else:
                 self.function_words = _FUNCTION_WORDS
-            pp = os.path.join(data_dir, "paraphrase-en.gz")
-            if os.path.exists(pp):
-                self._paraphrase = _load_paraphrases(pp)
         else:
             self.function_words = _FUNCTION_WORDS
 
-    def stem(self, w: str) -> str:
+    def _allows(self, stage: str) -> bool:
+        return self._enabled is None or stage in self._enabled
+
+    def stem(self, w: str) -> Optional[str]:
+        if self._stem is None:
+            return None                      # stage disabled: never matches
         s = self._stem_cache.get(w)
         if s is None:
             s = self._stem_cache[w] = self._stem(w)
@@ -145,19 +159,6 @@ class _Stages:
 
     def weight(self, w: str) -> float:
         return (1.0 - DELTA) if w in self.function_words else DELTA
-
-
-def _load_paraphrases(path: str) -> Dict[Tuple[str, ...], set]:
-    """jar ``data/paraphrase-en.gz`` layout: alternating phrase lines."""
-    table: Dict[Tuple[str, ...], set] = {}
-    with gzip.open(path, "rt", encoding="utf-8") as f:
-        lines = [ln.rstrip("\n") for ln in f]
-    for i in range(0, len(lines) - 1, 2):
-        a = tuple(lines[i].split())
-        b = tuple(lines[i + 1].split())
-        table.setdefault(a, set()).add(b)
-        table.setdefault(b, set()).add(a)
-    return table
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +181,7 @@ def _candidate_matches(hyp: Sequence[str], ref: Sequence[str],
         for j, rw in enumerate(ref):
             if w == rw:
                 cands.append((j, 0))
-            elif ws == ref_stems[j]:
+            elif ws is not None and ws == ref_stems[j]:
                 cands.append((j, 1))
             elif wsyn and not wsyn.isdisjoint(ref_syns[j]):
                 cands.append((j, 2))
@@ -288,18 +289,24 @@ def _pair_stats(hyp_toks: List[str], ref_toks: List[str],
 
 
 class MeteorNative:
-    """Drop-in for the jar wrapper's ``compute_score(gts, res)`` API."""
+    """Drop-in for the jar wrapper's ``compute_score(gts, res)`` API.
 
-    def __init__(self):
-        self._st = _Stages()
+    ``stages`` restricts the matcher modules (ablation studies —
+    docs/parity.md METEOR row); default = every stage available here."""
+
+    def __init__(self, stages: Optional[Sequence[str]] = None):
+        self._st = _Stages(enabled=stages)
 
     @property
     def stages(self) -> List[str]:
-        names = ["exact", "stem"]
+        """The matcher stages the aligner actually runs — NOT the jar's
+        full English set: synonym needs the nltk WordNet corpus, and
+        phrase-level paraphrase is jar-only (module docstring)."""
+        names = ["exact"]
+        if self._st._stem is not None:
+            names.append("stem")
         if self._st._syn is not None:
             names.append("synonym")
-        if self._st._paraphrase is not None:
-            names.append("paraphrase")
         return names
 
     def score_pair(self, hypothesis: str,
