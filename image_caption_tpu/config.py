@@ -111,10 +111,14 @@ class RLConfig:
     # reward scoring of step k with the device sampling of step k+1 —
     # sampling then runs one update stale (the classic pipelined-SCST
     # off-by-one; the UPDATE still differentiates fresh current-params
-    # logprobs of the scored sequences).  0 = the reference's strictly
-    # serial sample->score->update schedule (core/models.py:184-195),
-    # bit-identical to the pure_callback mode.
-    pipeline_depth: int = 1
+    # logprobs of the scored sequences).  0 (default) = the reference's
+    # strictly serial sample->score->update schedule
+    # (core/models.py:184-195), bit-identical to the pure_callback mode.
+    # Depth 1 is the throughput opt-in (docs/parity.md fidelity flag;
+    # ~2x steps/s — docs/performance.md RL section): it changes the
+    # training TRAJECTORY (one-step-stale samples), which is why, like
+    # every other deliberate deviation, it is off in the parity presets.
+    pipeline_depth: int = 0
 
 
 @dataclass(frozen=True)

@@ -377,7 +377,8 @@ class RLTrainer(Trainer):
         core/models.py:184-195): sample -> host-score -> update, the
         device idle for the whole host scoring.
 
-        Pipelined schedule (depth 1, the default): dispatch the sample for
+        Pipelined schedule (depth 1, the opt-in throughput mode —
+        docs/parity.md fidelity flags): dispatch the sample for
         THIS batch first, then score + update the PREVIOUS batch while the
         device runs it — the host n-gram scoring and the device programs
         overlap, hiding whichever is cheaper.  Sampling therefore runs one

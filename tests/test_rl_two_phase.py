@@ -72,7 +72,8 @@ def test_pipelined_plumbing_matches_serial_lr0(flagship_tiny_cfg,
     serial = [t_serial.train_step_device(t_serial.shard(b))
               for b in batches]
 
-    t_pipe = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(3))
+    t_pipe = RLTrainer(_override(cfg, **{"rl.pipeline_depth": 1}), vocab,
+                       rng=jax.random.PRNGKey(3))
     assert t_pipe._two_phase and t_pipe._pipeline
     piped = [t_pipe.train_step_device(t_pipe.shard(b)) for b in batches]
     piped.append(t_pipe.flush())
@@ -93,24 +94,26 @@ def test_pipelined_first_update_and_blocking_api(flagship_tiny_cfg,
     ``train_step`` API drains per call, so it reproduces the serial
     trajectory exactly even with pipelining enabled."""
     _force_two_phase(monkeypatch)
+    # serial IS the preset default since r5 (docs/parity.md fidelity
+    # flags); pipelining is the explicit opt-in exercised here
     cfg = flagship_tiny_cfg
+    cfg_pipe = _override(cfg, **{"rl.pipeline_depth": 1})
     vocab = _make_vocab(cfg.model.num_vocab)
     batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(3)]
 
-    t_serial = RLTrainer(_override(cfg, **{"rl.pipeline_depth": 0}), vocab,
-                         rng=jax.random.PRNGKey(5))
+    t_serial = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(5))
     assert not t_serial._pipeline
     serial = [t_serial.train_step(*b) for b in batches]
 
     # (a) first async update matches
-    t_pipe = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(5))
+    t_pipe = RLTrainer(cfg_pipe, vocab, rng=jax.random.PRNGKey(5))
     assert t_pipe.train_step_device(t_pipe.shard(batches[0])) is None
     first = t_pipe.flush()
     np.testing.assert_allclose(np.asarray(first["loss"]),
                                serial[0]["loss"], rtol=1e-6, atol=1e-7)
 
     # (b) blocking API == serial trajectory
-    t_block = RLTrainer(cfg, vocab, rng=jax.random.PRNGKey(5))
+    t_block = RLTrainer(cfg_pipe, vocab, rng=jax.random.PRNGKey(5))
     assert t_block._pipeline
     blocked = [t_block.train_step(*b) for b in batches]
     for i, (a, b) in enumerate(zip(serial, blocked)):
@@ -124,7 +127,7 @@ def test_pipelined_staleness_converges_and_counts(flagship_tiny_cfg,
     (step counter exact), losses stay finite, and compute_loss flushes
     the pending tail before reading params."""
     _force_two_phase(monkeypatch)
-    cfg = flagship_tiny_cfg
+    cfg = _override(flagship_tiny_cfg, **{"rl.pipeline_depth": 1})
     vocab = _make_vocab(cfg.model.num_vocab)
     batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(5)]
 
