@@ -82,3 +82,46 @@ def make_fake_batch(cfg, batch=3, seed=0):
 @pytest.fixture()
 def fake_batch(tiny_cfg):
     return make_fake_batch(tiny_cfg)
+
+
+# ---------------------------------------------------------------------------
+# Expected-skip guard (VERDICT r4 weak #6).
+#
+# Exactly these tests are ALLOWED to skip in a full-tier run: the
+# env-blocked fixture replays (no Java/jar, no pycocoevalcap, no CoreNLP
+# server in this environment — each skips loudly until its recorder script
+# commits a fixture) plus the meteor snapshot's stage-set guard.  Every
+# OTHER skip is a regression hiding as environment gating (e.g. the
+# committed native .so failing to load would silently skip two whole
+# modules), so a full run fails when one appears.  Partial runs
+# (single files, -m slow, -k filters) stay unguarded — the threshold
+# below only engages when the whole fast tier was collected.
+# ---------------------------------------------------------------------------
+
+_EXPECTED_SKIPS = (
+    "test_meteor.py::test_native_matches_recorded_jar",
+    "test_meteor.py::test_native_regression_pin",
+    "test_metrics.py::test_vendored_scorers_match_recorded_pycocoevalcap",
+    "test_vocab.py::test_tokenizer_matches_recorded_corenlp",
+)
+_FULL_RUN_MIN_ITEMS = 200
+_skipped_nodeids: list = []
+
+
+def pytest_runtest_logreport(report):
+    if report.skipped and report.when in ("setup", "call"):
+        _skipped_nodeids.append(report.nodeid)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if session.testscollected < _FULL_RUN_MIN_ITEMS or exitstatus != 0:
+        return
+    unexpected = [n for n in _skipped_nodeids
+                  if not n.endswith(_EXPECTED_SKIPS)]
+    if unexpected:
+        print("\n[conftest] UNEXPECTED SKIPS in a full-tier run "
+              "(only the env-blocked fixture replays may skip here; "
+              "see _EXPECTED_SKIPS in tests/conftest.py):")
+        for n in unexpected:
+            print(f"  {n}")
+        session.exitstatus = 1

@@ -66,6 +66,7 @@ def test_compile_cache_configured(tmp_path, monkeypatch):
     cache = tmp_path / "xla-cache"
     monkeypatch.setenv("ICX_COMPILE_CACHE", str(cache))
     before = jax.config.jax_compilation_cache_dir
+    before_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         _enable_compile_cache()
         assert jax.config.jax_compilation_cache_dir == str(cache)
@@ -77,3 +78,5 @@ def test_compile_cache_configured(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir is None
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          before_min)
