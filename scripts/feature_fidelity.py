@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Feature/box fidelity across roi-mode quality points (VERDICT r4 #3).
+
+The roi fast mode's throughput levers are the detector resolution
+(``roi_detect_size``) and the trunk resolution (``roi_trunk_size``); r3/r4
+measured their speed (448/448 = 713 img/s, 448-detect/320-trunk and
+320/320 up to 1371 img/s) but shipped NO fidelity evidence for the
+reduced-resolution quality points.  This script measures the fidelity
+proxies on synthetic weights + structured synthetic images (the only
+weights this offline environment has — a lower bound on real-weight
+agreement, since a trained YOLO is far more scale-robust than a random
+init; re-run with real weights via --weights-dir the moment they exist):
+
+  1. BOX-SET agreement vs detect resolution: detect the same canvases at
+     640 (the per-crop parity resolution) and at 448/384/320; greedy-IoU
+     match each reduced set against the 640 set; report match rate,
+     mean matched IoU, and class agreement.
+  2. TRUNK effect at fixed boxes: roi features for the SAME detections
+     (detect=448) with trunk 448 vs trunk 320 — per-slot cosine + top-1
+     cross-image retrieval agreement.  This isolates the feature-map
+     resolution from the box changes.
+  3. END-TO-END mode agreement: mean-pooled image descriptors under
+     (448/448) vs (320/320) and crop-mode vs roi-mode — top-1 retrieval
+     agreement over the batch (are the modes' similarity structures
+     interchangeable for ranking?).
+
+Prints a markdown table for docs/performance.md.
+
+Run:  python scripts/feature_fidelity.py            (real chip, ~5 min)
+      python scripts/feature_fidelity.py --smoke    (tiny CPU pre-flight)
+"""
+
+import argparse
+import os
+import sys
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _structured_canvases(batch, size, seed=0):
+    """Gray letterbox canvases with colored rectangles at varied scales —
+    edges and blobs at multiple frequencies, so resolution changes have
+    real content to disagree on (pure noise would measure only noise)."""
+    rng = np.random.RandomState(seed)
+    canv = np.full((batch, size, size, 3), 114.0, np.float32)
+    for i in range(batch):
+        for _ in range(rng.randint(4, 9)):
+            w = rng.randint(size // 16, size // 2)
+            h = rng.randint(size // 16, size // 2)
+            y = rng.randint(0, size - h)
+            x = rng.randint(0, size - w)
+            color = rng.rand(3) * 255.0
+            canv[i, y:y + h, x:x + w] = color
+            # inner rectangle -> edge at a second scale
+            if w > 8 and h > 8:
+                canv[i, y + h // 4: y + 3 * h // 4,
+                     x + w // 4: x + 3 * w // 4] = rng.rand(3) * 255.0
+    return canv
+
+
+def _greedy_iou_match(ref_boxes, ref_cls, boxes, cls, iou_thr=0.5):
+    """Greedy best-IoU matching of `boxes` against `ref_boxes`; returns
+    (match_rate, mean_iou, class_agreement) over the ref set."""
+    if len(ref_boxes) == 0:
+        return np.nan, np.nan, np.nan
+    if len(boxes) == 0:
+        return 0.0, 0.0, 0.0
+    x1 = np.maximum(ref_boxes[:, None, 0], boxes[None, :, 0])
+    y1 = np.maximum(ref_boxes[:, None, 1], boxes[None, :, 1])
+    x2 = np.minimum(ref_boxes[:, None, 2], boxes[None, :, 2])
+    y2 = np.minimum(ref_boxes[:, None, 3], boxes[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_r = ((ref_boxes[:, 2] - ref_boxes[:, 0])
+              * (ref_boxes[:, 3] - ref_boxes[:, 1]))
+    area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    iou = inter / np.clip(area_r[:, None] + area_b[None, :] - inter,
+                          1e-9, None)
+    used = np.zeros(len(boxes), bool)
+    matched_iou, matched_cls = [], []
+    for r in np.argsort(-area_r):                 # big refs first
+        cand = np.where(~used)[0]
+        if not len(cand):
+            break
+        j = cand[np.argmax(iou[r, cand])]
+        if iou[r, j] >= iou_thr:
+            used[j] = True
+            matched_iou.append(iou[r, j])
+            matched_cls.append(float(ref_cls[r] == cls[j]))
+    n = len(ref_boxes)
+    if not matched_iou:
+        return 0.0, 0.0, 0.0
+    return (len(matched_iou) / n, float(np.mean(matched_iou)),
+            float(np.mean(matched_cls)))
+
+
+def _top1_retrieval_agreement(a, b):
+    """a, b: [N, D] image descriptors from two configs.  For each row,
+    does config-b rank the same nearest neighbor (excluding self) as
+    config-a?  1.0 = the two configs induce the same similarity
+    structure at top-1."""
+    def nn(x):
+        x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True),
+                        1e-9, None)
+        sim = x @ x.T
+        np.fill_diagonal(sim, -np.inf)
+        return np.argmax(sim, axis=1)
+    return float(np.mean(nn(a) == nn(b)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--weights-dir", default=None,
+                    help="real extractor weights (scripts/export_yolov5_npz"
+                         ".py layout) — USE WHEN AVAILABLE")
+    args = ap.parse_args()
+
+    import jax
+    if args.smoke:
+        # the driver env pins JAX_PLATFORMS=axon via sitecustomize; env
+        # vars alone cannot override it (env-gotchas) — force through
+        # jax.config BEFORE the first device touch
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from image_caption_tpu.vision.pipeline import (
+        _detect_and_select, extract_features_batch, extract_features_roi,
+        init_extractor, load_extractor)
+
+    size = 128 if args.smoke else 640
+    batch = 4 if args.smoke else args.batch
+    sizes_px = ((64, 96, 128) if args.smoke else (640, 448, 384, 320))
+    trunk_hi, trunk_lo = (96, 64) if args.smoke else (448, 320)
+
+    params = (load_extractor(args.weights_dir) if args.weights_dir
+              else init_extractor())
+    canv = _structured_canvases(batch, size)
+    metas = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (batch, 1))
+    osz = np.tile(np.asarray([[float(size), float(size)]], np.float32),
+                  (batch, 1))
+    canv_d = jnp.asarray(canv)
+    metas_d, osz_d = jnp.asarray(metas), jnp.asarray(osz)
+
+    # params/canvases must be ARGUMENTS, not closures: a jitted closure
+    # embeds captured device arrays as compile-time constants (the whole
+    # backbone in the program body — oversized remote-compile payloads)
+    @partial(jax.jit, static_argnames=("det_size",))
+    def _detect(p, cv, mt, os_, det_size):
+        det_canvas = (cv if det_size == size else
+                      jax.image.resize(cv.astype(jnp.bfloat16),
+                                       (batch, det_size, det_size, 3),
+                                       method="bilinear"))
+        sel = _detect_and_select(p, det_canvas, mt, os_,
+                                 num_objects=36, cap_half=False,
+                                 max_obj=None, num_classes=80,
+                                 compute_dtype=jnp.bfloat16,
+                                 det_scale=det_size / size)
+        return (sel.boxes_orig, sel.det.scores, sel.det.classes, sel.valid)
+
+    def detect(det_size):
+        return _detect(params, canv_d, metas_d, osz_d, det_size=det_size)
+
+    print(f"\n== 1. box-set agreement vs detect resolution "
+          f"(vs detect@{sizes_px[0]}, {batch} structured canvases, "
+          f"{'REAL' if args.weights_dir else 'synthetic'} weights) ==")
+    print("| detect px | boxes/img | match rate | mean IoU | class agree |")
+    print("|---|---|---|---|---|")
+    ref = [np.asarray(x) for x in detect(sizes_px[0])]
+    for px in sizes_px:
+        bx, sc, cl, vd = [np.asarray(x) for x in detect(px)]
+        rates, ious, clss, counts = [], [], [], []
+        for i in range(batch):
+            rb, rc = ref[0][i][ref[3][i]], ref[2][i][ref[3][i]]
+            bb, bc = bx[i][vd[i]], cl[i][vd[i]]
+            counts.append(vd[i].sum())
+            r, u, c = _greedy_iou_match(rb, rc, bb, bc)
+            if not np.isnan(r):
+                rates.append(r), ious.append(u), clss.append(c)
+        print(f"| {px} | {np.mean(counts):.1f} | {np.mean(rates):.3f} "
+              f"| {np.mean(ious):.3f} | {np.mean(clss):.3f} |")
+
+    # --- 2. trunk resolution at FIXED boxes (detect size shared) ---
+    det_fixed = trunk_hi
+    kwargs = dict(max_obj=5, num_objects=36, cap_half=True, num_classes=80)
+    f_hi, p_hi, _ = extract_features_roi(params, canv_d, metas_d, osz_d,
+                                         trunk_size=trunk_hi,
+                                         detect_size=det_fixed, **kwargs)
+    f_lo, p_lo, _ = extract_features_roi(params, canv_d, metas_d, osz_d,
+                                         trunk_size=trunk_lo,
+                                         detect_size=det_fixed, **kwargs)
+    f_hi, f_lo = np.asarray(f_hi), np.asarray(f_lo)
+    np.testing.assert_allclose(np.asarray(p_hi), np.asarray(p_lo),
+                               atol=1e-5)      # same detections, by design
+    valid = np.abs(f_hi).sum(-1) > 0
+    cos = (f_hi * f_lo).sum(-1) / np.clip(
+        np.linalg.norm(f_hi, axis=-1) * np.linalg.norm(f_lo, axis=-1),
+        1e-9, None)
+    slot_cos = float(cos[valid].mean())
+    retr_trunk = _top1_retrieval_agreement(
+        f_hi.mean(1), f_lo.mean(1))
+    print(f"\n== 2. trunk {trunk_hi} vs {trunk_lo} at FIXED boxes "
+          f"(detect@{det_fixed}) ==")
+    print(f"per-slot cosine (valid slots): {slot_cos:.4f}")
+    print(f"top-1 retrieval agreement    : {retr_trunk:.3f}")
+
+    # --- 3. end-to-end mode agreement (descriptors = mean over slots) ---
+    f_crop, _, _ = extract_features_batch(params, canv_d, metas_d, osz_d,
+                                          **kwargs)
+    f_roi_hi, _, _ = extract_features_roi(params, canv_d, metas_d, osz_d,
+                                          trunk_size=trunk_hi,
+                                          detect_size=trunk_hi, **kwargs)
+    f_roi_lo, _, _ = extract_features_roi(params, canv_d, metas_d, osz_d,
+                                          trunk_size=trunk_lo,
+                                          detect_size=trunk_lo, **kwargs)
+    f_crop = np.asarray(f_crop).mean(1)
+    d_hi = np.asarray(f_roi_hi).mean(1)
+    d_lo = np.asarray(f_roi_lo).mean(1)
+    print(f"\n== 3. end-to-end top-1 retrieval agreement ({batch} imgs) ==")
+    print(f"roi {trunk_hi}/{trunk_hi} vs roi {trunk_lo}/{trunk_lo}: "
+          f"{_top1_retrieval_agreement(d_hi, d_lo):.3f}")
+    print(f"crop@{size} vs roi {trunk_hi}/{trunk_hi}          : "
+          f"{_top1_retrieval_agreement(f_crop, d_hi):.3f}")
+    print("\n(synthetic-weight numbers are a LOWER bound: a trained "
+          "detector/encoder is scale-robust by training; re-run with "
+          "--weights-dir on real weights to record the production table)")
+
+
+if __name__ == "__main__":
+    main()
