@@ -7,8 +7,9 @@ Metrics (all single-chip):
   * feature_extraction_throughput_etl — same pipeline in the offline-ETL
     configuration (max_obj=5: 6 crops/image, what features.py runs).
   * feature_extraction_throughput_roi / _roi_fast — the opt-in
-    shared-trunk fast mode (feature_mode='roi') at its default
-    (448/448) and fastest measured (320/320) quality points.
+    shared-trunk fast mode (feature_mode='roi') at its documented
+    default (trunk 448 / detect 320 since r5, read from DataConfig)
+    and fastest measured (320/320) quality points.
   * xe_train_steps_per_sec — flagship XE train step, batch 32 (the
     reference's solver shape, core/config.py:59-62), measured through
     the train loop's scanned multi-step dispatch (train.scan_steps=32,
@@ -198,12 +199,19 @@ def _bench_roi_config(metric, batch, **kwargs):
 
 
 def bench_extraction_roi(batch=128):
-    """Opt-in shared-trunk fast mode (feature_mode='roi'): detection at
-    448 + one ResNet-101 trunk over the shared 448 canvas + ROI-aligned
-    slot features instead of a ResNet forward per crop (docs/parity.md
-    caveat applies)."""
+    """Opt-in shared-trunk fast mode (feature_mode='roi') at the
+    DOCUMENTED DEFAULT quality point (config.py DataConfig): ResNet-101
+    trunk at 448 + ROI-aligned slot features, YOLO detection at 320
+    (the r5 default — the 448 detector was ~54% of the pipeline for a
+    box-set change the trunk never sees; docs/performance.md r5 fidelity
+    table + parity.md).  The sizes are read from DataConfig so this
+    metric can never drift from what `--set data.feature_mode=roi`
+    actually runs."""
+    from image_caption_tpu.config import DataConfig
+    d = DataConfig()
     return _bench_roi_config("feature_extraction_throughput_roi", batch,
-                             max_obj=5, detect_size=448)
+                             max_obj=5, trunk_size=d.roi_trunk_size,
+                             detect_size=d.roi_detect_size)
 
 
 def bench_extraction_roi_fast(batch=384):
@@ -256,12 +264,15 @@ def bench_rl_step(batch=32):
         over synthetic reference captions and written next to the bench
         data so the scorer runs the frozen-df mode users train with, not
         the per-batch corpus fallback;
-      * the pipelined two-phase schedule (rl.pipeline_depth=1 — an
-        EXPLICIT override here: the preset default is the reference's
-        serial schedule, docs/parity.md fidelity flags): host reward
-        scoring of step k overlaps device sampling of k+1, so throughput
-        is steady-state over a run of steps, not a serialized single
-        step.  The unit string names the measured mode."""
+      * the FUSED pipelined two-phase schedule (rl.pipeline_depth=1, the
+        preset default; pinned explicitly here so the measured mode can't
+        drift with the config): one device dispatch per step applies the
+        pending update and samples the next batch from the post-update
+        params — trajectory-identical to the reference's serial schedule
+        (tests/test_rl_two_phase.py) while host n-gram scoring, device
+        programs, and the sample transfer overlap across steps.
+        Throughput is steady-state over a run of steps.  The unit string
+        names the measured mode."""
     import tempfile
 
     import jax
@@ -309,7 +320,7 @@ def bench_rl_step(batch=32):
         ts.append((time.perf_counter() - t0) / n)
     dt = sorted(ts)[len(ts) // 2]
     v = 1.0 / dt
-    mode = "pipelined" if trainer._pipeline else "serial"
+    mode = "fused-pipelined" if trainer._pipeline else "serial"
     return {"metric": "rl_train_steps_per_sec",
             "value": round(v, 2),
             "unit": f"steps/sec (batch {batch}, frozen df, {mode})",

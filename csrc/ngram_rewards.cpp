@@ -174,29 +174,14 @@ void build_df(DF& df, const uint64_t* hashes, const double* values,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Per-sentence structure scores: cider_w * CIDEr-D(res_i, gts_i) +
-// bleu_w * BLEU-4(res_i, gts_i).  df_size == 0 -> corpus-mode df over the
-// batch's references (the Python fallback); otherwise the frozen table.
-void icx_structure_scores(const char** res, const char** gts, int n,
-                          double cider_w, double bleu_w,
-                          const uint64_t* df_hashes, const double* df_values,
-                          long df_size, double log_ref_len, float* out) {
-  std::vector<std::vector<std::string>> res_words(n), gts_words(n);
-  std::vector<NgramCounts> res_counts(n), gts_counts(n);
-  for (int i = 0; i < n; ++i) {
-    res_words[i] = split_ws(res[i]);
-    gts_words[i] = split_ws(gts[i]);
-    res_counts[i] = precook(res_words[i]);
-    gts_counts[i] = precook(gts_words[i]);
-  }
-
-  DF df;
-  build_df(df, df_hashes, df_values, df_size, log_ref_len, &gts_counts);
-
+// Shared per-pair scoring loop over pre-split/pre-cooked sentences.
+void score_pairs(const DF& df,
+                 const std::vector<std::vector<std::string>>& res_words,
+                 const std::vector<std::vector<std::string>>& gts_words,
+                 const std::vector<NgramCounts>& res_counts,
+                 const std::vector<NgramCounts>& gts_counts,
+                 double cider_w, double bleu_w, float* out) {
+  int n = static_cast<int>(res_words.size());
   for (int i = 0; i < n; ++i) {
     double score = 0.0;
     if (cider_w != 0.0) {
@@ -211,6 +196,71 @@ void icx_structure_scores(const char** res, const char** gts, int n,
       score += bleu_w * bleu4_sentence(res_words[i], gts_words[i]);
     out[i] = static_cast<float>(score);
   }
+}
+
+void cook_pairs(const char** res, const char** gts, int n,
+                std::vector<std::vector<std::string>>& res_words,
+                std::vector<std::vector<std::string>>& gts_words,
+                std::vector<NgramCounts>& res_counts,
+                std::vector<NgramCounts>& gts_counts) {
+  res_words.resize(n); gts_words.resize(n);
+  res_counts.resize(n); gts_counts.resize(n);
+  for (int i = 0; i < n; ++i) {
+    res_words[i] = split_ws(res[i]);
+    gts_words[i] = split_ws(gts[i]);
+    res_counts[i] = precook(res_words[i]);
+    gts_counts[i] = precook(gts_words[i]);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Persistent frozen-df handle.  Rebuilding the df hash map per call was
+// the RL step's dominant host cost (~35 ms/call at a 1024-image df —
+// the COCO table is 40x larger): the table is immutable across a
+// training run, so callers with a frozen df build it ONCE here and score
+// through icx_structure_scores_df.  The handle-free entry points below
+// stay for corpus-mode scoring (the df genuinely is per-batch there) and
+// for oracle tests.
+void* icx_df_create(const uint64_t* df_hashes, const double* df_values,
+                    long df_size, double log_ref_len) {
+  DF* df = new DF();
+  build_df(*df, df_hashes, df_values, df_size, log_ref_len, nullptr);
+  return df;
+}
+
+void icx_df_destroy(void* handle) { delete static_cast<DF*>(handle); }
+
+// Per-sentence structure scores against a prebuilt frozen-df handle.
+void icx_structure_scores_df(const void* handle, const char** res,
+                             const char** gts, int n, double cider_w,
+                             double bleu_w, float* out) {
+  std::vector<std::vector<std::string>> res_words, gts_words;
+  std::vector<NgramCounts> res_counts, gts_counts;
+  cook_pairs(res, gts, n, res_words, gts_words, res_counts, gts_counts);
+  score_pairs(*static_cast<const DF*>(handle), res_words, gts_words,
+              res_counts, gts_counts, cider_w, bleu_w, out);
+}
+
+// Per-sentence structure scores: cider_w * CIDEr-D(res_i, gts_i) +
+// bleu_w * BLEU-4(res_i, gts_i).  df_size == 0 -> corpus-mode df over the
+// batch's references (the Python fallback); otherwise the frozen table
+// (rebuilt per call — prefer icx_df_create + icx_structure_scores_df on
+// hot paths).
+void icx_structure_scores(const char** res, const char** gts, int n,
+                          double cider_w, double bleu_w,
+                          const uint64_t* df_hashes, const double* df_values,
+                          long df_size, double log_ref_len, float* out) {
+  std::vector<std::vector<std::string>> res_words, gts_words;
+  std::vector<NgramCounts> res_counts, gts_counts;
+  cook_pairs(res, gts, n, res_words, gts_words, res_counts, gts_counts);
+
+  DF df;
+  build_df(df, df_hashes, df_values, df_size, log_ref_len, &gts_counts);
+  score_pairs(df, res_words, gts_words, res_counts, gts_counts,
+              cider_w, bleu_w, out);
 }
 
 // Per-sentence self-CIDEr diversity (loss.py:189-216 single-sample case):

@@ -107,18 +107,21 @@ class RLConfig:
     # dormant multi-sample machinery (loss.py:140-141,158-159) as a real
     # leave-in mean baseline over the samples
     num_samples: int = 1
-    # two-phase (callback-free) schedule only: depth 1 overlaps the host
-    # reward scoring of step k with the device sampling of step k+1 —
-    # sampling then runs one update stale (the classic pipelined-SCST
-    # off-by-one; the UPDATE still differentiates fresh current-params
-    # logprobs of the scored sequences).  0 (default) = the reference's
-    # strictly serial sample->score->update schedule
-    # (core/models.py:184-195), bit-identical to the pure_callback mode.
-    # Depth 1 is the throughput opt-in (docs/parity.md fidelity flag;
-    # ~2x steps/s — docs/performance.md RL section): it changes the
-    # training TRAJECTORY (one-step-stale samples), which is why, like
-    # every other deliberate deviation, it is off in the parity presets.
-    pipeline_depth: int = 0
+    # two-phase (callback-free) schedule only: depth 1 (default) runs the
+    # FUSED pipelined schedule — one device dispatch per step applies the
+    # pending update and samples the next batch from the post-update
+    # params (rl/step.py:compile_rl_fused_update_sample).  Because the
+    # sample reads the params the update just produced, the trajectory is
+    # IDENTICAL to the reference's serial sample->score->update
+    # (core/models.py:184-195) up to XLA program-boundary float
+    # reassociation (tests/test_rl_two_phase.py pins per-step metrics AND
+    # final params against the serial schedule); what pipelining buys is
+    # host-scoring/device/transfer overlap and one dispatch instead of
+    # two — ~4x steps/s on the tunneled chip (docs/performance.md RL
+    # attribution).  0 = literally one program per phase, the serial
+    # schedule with the device idle during host scoring (the debugging /
+    # bit-parity-vs-callback-mode setting).
+    pipeline_depth: int = 1
 
 
 @dataclass(frozen=True)
@@ -173,8 +176,17 @@ class DataConfig:
     # interchangeable with crop-mode features)
     feature_mode: str = "crop"
     roi_trunk_size: int = 448            # trunk input for 'roi' mode
-    roi_detect_size: int = 448           # YOLO input for 'roi' mode (the
-    # 640-canvas detector dominates the pipeline; see pipeline.py)
+    # YOLO input for 'roi' mode.  The detector dominates the roi pipeline
+    # (~110 ms of its ~205 ms at 448, B=128 — docs/performance.md), so
+    # the r5 default detects at 320 (~950 img/s/chip vs 713 at 448);
+    # slot FEATURES are untouched (same 448 trunk) — only which boxes
+    # get pooled changes.  Box-set sensitivity to detect resolution is a
+    # real-weight property (scripts/feature_fidelity.py --weights-dir
+    # records it; random-weight box sets are noise — measured, see
+    # docs/performance.md r5 fidelity table).  Set 448 (or 640) to trade
+    # throughput back for detector resolution; roi mode itself is
+    # already the documented non-parity fast path (docs/parity.md).
+    roi_detect_size: int = 320
 
     @property
     def word_to_idx_path(self) -> str:

@@ -126,21 +126,26 @@ class RewardComputer:
         ``rl.num_samples`` when true multi-sample SCST is on — computes
         the upstream self-critical semantics the reference transcribed
         from: one NxN tf-idf gram over each image's N consecutive
-        samples, the shared diversity score repeated across the group."""
-        res_strs = self.decode(sample_seq)
+        samples, the shared diversity score repeated across the group.
+
+        The 1-element case short-circuits to exact zeros WITHOUT scoring:
+        a 1x1 gram has a single eigenvalue e, so ``sqrt_top == sqrt_sum``
+        and ``get_div = -log(sqrt(e)/sqrt(e))/log_n = -log(1)/eps = 0``
+        exactly for EVERY input (e == 0 hits the degenerate clamp, also
+        0) — both the Python oracle and the native kernel unconditionally
+        produce 0 here, at ~38 ms/step of tf-idf work for a constant
+        (docs/performance.md RL attribution).  tests/test_native.py pins
+        oracle == native == 0."""
         if group_size <= 1:
-            if self._native is not None:
-                return self._native.self_cider_scores(res_strs)
-            groups = [[s] for s in res_strs]
-        else:
-            if len(res_strs) % group_size:
-                raise ValueError(
-                    f"{len(res_strs)} rows not divisible by "
-                    f"group_size={group_size}")
-            # the native kernel hard-codes the 1x1 shortcut; N is small
-            # (rl.num_samples), so the Python gram path is cheap here
-            groups = [res_strs[i:i + group_size]
-                      for i in range(0, len(res_strs), group_size)]
+            return np.zeros((np.asarray(sample_seq).shape[0],), np.float32)
+        res_strs = self.decode(sample_seq)
+        if len(res_strs) % group_size:
+            raise ValueError(
+                f"{len(res_strs)} rows not divisible by "
+                f"group_size={group_size}")
+        # N is small (rl.num_samples), so the Python gram path is cheap
+        groups = [res_strs[i:i + group_size]
+                  for i in range(0, len(res_strs), group_size)]
         scores = []
         for g in groups:
             gram = self.cider.my_self_cider([g])[0]

@@ -98,9 +98,9 @@ def compile_rl_eval_step(cfg: Config, mesh: Mesh, state: TrainState,
 def compile_rl_sample_step(cfg: Config, mesh: Mesh, state: TrainState):
     """Phase 1: jitted sampled-sequence computation.  ``fn(params, batch,
     rng, step) -> sample_seq [B, N, T-1] int32``.  ``step`` selects the
-    per-step rng fold — the device step counter in the serial schedule, a
-    host-tracked int in the pipelined one (the device counter lags the
-    sample there, train/loop.py:RLTrainer.train_step_device)."""
+    per-step rng fold — the device step counter; the pipelined schedule
+    calls this only to prime its pipe (its steady state samples inside
+    the fused dispatch, :func:`compile_rl_fused_update_sample`)."""
     from ..rl.loss import rl_sample_sequence
     from ..train.step import _state_shardings
     state_sh = _state_shardings(mesh, state)
@@ -148,6 +148,55 @@ def compile_rl_train_step_two_phase(cfg: Config, mesh: Mesh,
                                  data_sh, repl),
                    out_shardings=(state_sh, metric_sh),
                    donate_argnums=(0,) if donate else ())
+
+
+def compile_rl_fused_update_sample(cfg: Config, mesh: Mesh,
+                                   state: TrainState):
+    """Pipelined schedule's single-dispatch step: apply the PENDING update
+    (sequences + host-scored rewards from the previous batch) and sample
+    the NEXT batch from the post-update params, in ONE compiled program.
+
+    ``fn(state, upd_batch, upd_seq, rewards, self_cider, next_batch, rng)
+    -> (state, metrics, next_seq)``.
+
+    Because the sample reads the params the update just produced, the
+    schedule is TRAJECTORY-IDENTICAL to the reference's serial
+    sample->score->update (core/models.py:184-195): sample k sees exactly
+    the post-update-(k-1) params and folds the rng at the same step
+    counter the serial path folds at (tests/test_rl_two_phase.py pins the
+    equality).  What pipelining buys is host/device overlap WITHOUT a
+    staleness trade: while this program runs, the host is free to fetch
+    and score the sequences it returns; one dispatch per step instead of
+    two also halves the per-step dispatch cost on high-RTT runtimes
+    (docs/performance.md RL attribution)."""
+    from ..rl.loss import rl_sample_sequence
+    from ..train.step import _state_shardings
+    tx = make_optimizer(cfg.train.learning_rate)
+    state_sh = _state_shardings(mesh, state)
+    batch_sh = pmesh.batch_shardings(mesh, cfg.model.num_slots)
+    data_sh = pmesh.data_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    metric_sh = {k: repl for k in ("loss", "language_model_loss",
+                                   "structure_loss", "reward")}
+
+    def fn(state, upd_batch, upd_seq, rewards, self_cider, next_batch, rng):
+        state, metrics = rl_train_step(state, upd_batch, rng, cfg=cfg,
+                                       tx=tx, rewards=rewards,
+                                       self_cider=self_cider,
+                                       sample_seq=upd_seq)
+        # identical rng derivation to compile_rl_sample_step at the
+        # post-update step counter — the serial schedule's fold
+        step_rng = jax.random.fold_in(rng, state.step)
+        next_seq = rl_sample_sequence(state.params, cfg, next_batch,
+                                      rng=step_rng, deterministic=False)
+        return state, metrics, next_seq
+
+    return jax.jit(fn,
+                   in_shardings=(state_sh, batch_sh, data_sh, data_sh,
+                                 data_sh, batch_sh, repl),
+                   out_shardings=(state_sh, metric_sh,
+                                  pmesh.data_sharding(mesh)),
+                   donate_argnums=(0,))
 
 
 def compile_rl_eval_step_two_phase(cfg: Config, mesh: Mesh,

@@ -192,6 +192,15 @@ class Trainer:
         return ["loss"]          # WRITE_LOG for XE (core/config.py:65-66)
 
 
+def _copy_to_host_async(x) -> None:
+    """Start an async device->host copy (no-op on runtimes without it):
+    a later ``np.asarray(x)`` then finds the bytes already local."""
+    try:
+        x.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
+
+
 def _local_row_blocks(arr) -> List:
     """Unique dim-0 row blocks of a (possibly multi-process) jax array that
     THIS process addresses, as ``[(row_slice, np_block)]`` sorted by row.
@@ -299,11 +308,12 @@ class RLTrainer(Trainer):
                          or not backend_supports_callbacks())
         self._two_phase = two_phase
         # pipelined two-phase schedule (rl.pipeline_depth): the host
-        # scoring of step k overlaps the device sampling of step k+1
+        # scoring of step k overlaps the device work, through a fused
+        # update+sample dispatch — trajectory-identical to serial
         self._pipeline = two_phase and cfg.rl.pipeline_depth > 0
         self._pending = None           # (batch, sample_seq) awaiting update
-        self._step_counter = None      # host-side rng-fold counter
         if self._two_phase:
+            from ..rl.step import compile_rl_fused_update_sample
             self._sample_step = compile_rl_sample_step(cfg, self.mesh,
                                                        self.state)
             self._sample_step_eval = compile_rl_sample_step_eval(
@@ -312,6 +322,8 @@ class RLTrainer(Trainer):
                 cfg, self.mesh, self.state)
             self._eval_step_2p = compile_rl_eval_step_two_phase(
                 cfg, self.mesh, self.state)
+            self._fused_step = (compile_rl_fused_update_sample(
+                cfg, self.mesh, self.state) if self._pipeline else None)
         else:
             callback = make_reward_callback(self.reward_computer)
             self._train_step = compile_rl_train_step(cfg, self.mesh,
@@ -377,31 +389,42 @@ class RLTrainer(Trainer):
         core/models.py:184-195): sample -> host-score -> update, the
         device idle for the whole host scoring.
 
-        Pipelined schedule (depth 1, the opt-in throughput mode —
-        docs/parity.md fidelity flags): dispatch the sample for
-        THIS batch first, then score + update the PREVIOUS batch while the
-        device runs it — the host n-gram scoring and the device programs
-        overlap, hiding whichever is cheaper.  Sampling therefore runs one
-        update stale (classic pipelined SCST); the update itself stays
-        exact — it differentiates fresh current-params logprobs of the
-        scored sequences.  Returns the PREVIOUS step's metrics (``None``
-        on the first call); :meth:`flush` drains the last one."""
+        Pipelined schedule (depth 1): the first call primes the pipe with
+        a bare sample; every later call host-scores the PENDING sample
+        and issues ONE fused device dispatch that applies the pending
+        update and samples THIS batch from the post-update params
+        (rl/step.py:compile_rl_fused_update_sample).  The trajectory is
+        IDENTICAL to the serial schedule — every sample sees exactly the
+        params the previous update produced — while the host's n-gram
+        scoring, the device programs, and the sample's device->host
+        transfer all overlap across steps.  Returns the PREVIOUS step's
+        metrics (``None`` on the first call); :meth:`flush` drains the
+        last one."""
         if not self._two_phase:
             return super().train_step_device(batch)
         if not self._pipeline:
             seq = self._sample_step(self.state.params, batch, self.step_rng,
                                     self.state.step)
             return self._score_and_update(batch, seq)
-        if self._step_counter is None:
-            # sync once per pipeline start (epoch start / post-restore):
-            # the device counter is exact there because nothing is pending
-            self._step_counter = int(jax.device_get(self.state.step))
-        seq = self._sample_step(self.state.params, batch, self.step_rng,
-                                np.int32(self._step_counter))
-        self._step_counter += 1
-        metrics = None
-        if self._pending is not None:
-            metrics = self._score_and_update(*self._pending)
+        if self._pending is None:
+            # pipeline start (first step / post-flush): bare sample from
+            # the current params — exactly the serial schedule's phase 1
+            seq = self._sample_step(self.state.params, batch, self.step_rng,
+                                    self.state.step)
+            _copy_to_host_async(seq)
+            self._pending = (batch, seq)
+            return None
+        prev_batch, prev_seq = self._pending
+        rewards, self_cider = self._host_rewards(prev_seq, prev_batch[2])
+        self.state, metrics, seq = self._fused_step(
+            self.state, prev_batch, prev_seq, self.shard(rewards),
+            self.shard(self_cider), batch, self.step_rng)
+        # start the device->host copy of the new sample NOW: the runtime
+        # streams it out the moment the fused program finishes, so the
+        # NEXT call's blocking np.asarray (inside _host_rewards) finds
+        # the bytes already local instead of paying a full fetch round
+        # trip (~30 ms on the tunneled runtime) on the critical path
+        _copy_to_host_async(seq)
         self._pending = (batch, seq)
         return metrics
 
@@ -413,7 +436,6 @@ class RLTrainer(Trainer):
         if self._pending is not None:
             metrics = self._score_and_update(*self._pending)
             self._pending = None
-            self._step_counter = None
         return metrics
 
     def train_step(self, features, positions, captions):

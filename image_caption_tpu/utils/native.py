@@ -91,6 +91,10 @@ class NgramRewarder:
         self._lib = _load_lib()
         self._lib.icx_structure_scores.restype = None
         self._lib.icx_self_cider_scores.restype = None
+        self._lib.icx_df_create.restype = ctypes.c_void_p
+        self._lib.icx_df_destroy.restype = None
+        self._lib.icx_structure_scores_df.restype = None
+        self._df_handle = None
 
         if doc_frequency:
             hashes = np.fromiter(
@@ -104,6 +108,18 @@ class NgramRewarder:
             self._df_hashes = np.zeros((0,), np.uint64)
             self._df_values = np.zeros((0,), np.float64)
         self._log_ref_len = float(log_ref_len)
+        if len(self._df_hashes):
+            # frozen df: build the C++ hash table ONCE.  Rebuilding it per
+            # call dominated the RL step's host time (~35 ms at a small
+            # bench df; the real COCO table is far larger).
+            self._df_handle = ctypes.c_void_p(self._lib.icx_df_create(
+                *self._df_args()))
+
+    def __del__(self):
+        handle = getattr(self, "_df_handle", None)
+        if handle:
+            self._lib.icx_df_destroy(handle)
+            self._df_handle = None
 
     @staticmethod
     def _c_strings(strings: Sequence[str]):
@@ -125,6 +141,13 @@ class NgramRewarder:
                          cider_w: float, bleu_w: float) -> np.ndarray:
         n = len(res)
         out = np.zeros((n,), np.float32)
+        if self._df_handle is not None:      # frozen df: prebuilt table
+            self._lib.icx_structure_scores_df(
+                self._df_handle,
+                self._c_strings(res), self._c_strings(gts), ctypes.c_int(n),
+                ctypes.c_double(cider_w), ctypes.c_double(bleu_w),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            return out
         self._lib.icx_structure_scores(
             self._c_strings(res), self._c_strings(gts), ctypes.c_int(n),
             ctypes.c_double(cider_w), ctypes.c_double(bleu_w),

@@ -105,7 +105,7 @@ def stream_extracted_batches(image_paths: Sequence[str], *,
                              rect_letterbox: bool = False,
                              feature_mode: str = "crop",
                              roi_trunk_size: int = 448,
-                             roi_detect_size: Optional[int] = 448,
+                             roi_detect_size: Optional[int] = 320,
                              mesh=None,
                              skip_errors: bool = False):
     """The shared host->device extraction pipeline: yields

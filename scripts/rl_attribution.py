@@ -83,6 +83,13 @@ def main():
         # sitecustomize pins JAX_PLATFORMS=axon; env vars alone cannot
         # override — force through jax.config before first device touch
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # the script compiles ~10 programs (two RLTrainer instances for
+        # the serial-vs-pipelined end-to-end plus the standalone
+        # sample/update probes); without the persistent cache that is
+        # >10 min of remote compile on the tunneled chip
+        from image_caption_tpu.main import _enable_compile_cache
+        _enable_compile_cache()
     from image_caption_tpu.config import get_preset
     from image_caption_tpu.metrics.cider import (build_doc_frequency,
                                                  save_doc_frequency)

@@ -115,3 +115,41 @@ def test_reward_computer_prefers_native():
     np.testing.assert_allclose(
         rc_native.self_cider_scores(seq),
         rc_python.self_cider_scores(seq), rtol=1e-4, atol=1e-5)
+
+
+def test_self_cider_single_sample_is_identically_zero():
+    """The RewardComputer short-circuits group_size=1 self-CIDEr to exact
+    zeros (rl/rewards.py): a 1x1 gram's get_div is -log(1)/eps = 0 for
+    every input.  Pin oracle == native == shortcut == 0 so the shortcut
+    can never drift from the scored paths."""
+    from image_caption_tpu.metrics.cider import Cider
+    from image_caption_tpu.utils.native import NgramRewarder
+
+    df = {}
+    for s in RES:
+        for g in precook(s, 4):
+            df[g] = df.get(g, 0.0) + 2.0
+    log_ref_len = float(np.log(100.0))
+
+    cider = Cider(df="corpus")
+    cider.doc_frequency = df
+    cider.log_ref_len = log_ref_len
+    oracle = [get_div(np.linalg.eigvalsh(cider.my_self_cider([[s]])[0] / 10.0))
+              for s in RES]
+    native = NgramRewarder(doc_frequency=df,
+                           log_ref_len=log_ref_len).self_cider_scores(RES)
+
+    vocab = {"<NULL>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+    for w in sorted({w for s in RES for w in s.split()}):
+        vocab[w] = len(vocab)
+    seq = np.zeros((len(RES), 12), np.int32)
+    for i, s in enumerate(RES):
+        toks = [1] + [vocab[w] for w in s.split()][:9] + [2]
+        seq[i, :len(toks)] = toks
+    shortcut = RewardComputer(vocab, cider_df="corpus").self_cider_scores(
+        seq, group_size=1)
+
+    np.testing.assert_array_equal(np.asarray(oracle), 0.0)
+    np.testing.assert_array_equal(native, 0.0)
+    np.testing.assert_array_equal(shortcut, 0.0)
+    assert shortcut.shape == (len(RES),) and shortcut.dtype == np.float32

@@ -94,9 +94,8 @@ def test_pipelined_first_update_and_blocking_api(flagship_tiny_cfg,
     ``train_step`` API drains per call, so it reproduces the serial
     trajectory exactly even with pipelining enabled."""
     _force_two_phase(monkeypatch)
-    # serial IS the preset default since r5 (docs/parity.md fidelity
-    # flags); pipelining is the explicit opt-in exercised here
-    cfg = flagship_tiny_cfg
+    # pin both schedules explicitly — the comparison is the contract
+    cfg = _override(flagship_tiny_cfg, **{"rl.pipeline_depth": 0})
     cfg_pipe = _override(cfg, **{"rl.pipeline_depth": 1})
     vocab = _make_vocab(cfg.model.num_vocab)
     batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(3)]
@@ -121,11 +120,11 @@ def test_pipelined_first_update_and_blocking_api(flagship_tiny_cfg,
                                    atol=1e-6, err_msg=f"step {i}")
 
 
-def test_pipelined_staleness_converges_and_counts(flagship_tiny_cfg,
-                                                  monkeypatch):
-    """Async pipelined training with lr > 0: updates apply once per batch
-    (step counter exact), losses stay finite, and compute_loss flushes
-    the pending tail before reading params."""
+def test_pipelined_async_converges_and_counts(flagship_tiny_cfg,
+                                              monkeypatch):
+    """Async fused-pipelined training with lr > 0: updates apply once per
+    batch (step counter exact), losses stay finite, and compute_loss
+    flushes the pending tail before reading params."""
     _force_two_phase(monkeypatch)
     cfg = _override(flagship_tiny_cfg, **{"rl.pipeline_depth": 1})
     vocab = _make_vocab(cfg.model.num_vocab)
@@ -144,3 +143,43 @@ def test_pipelined_staleness_converges_and_counts(flagship_tiny_cfg,
         t.train_step_device(t.shard(b))
     t.flush()
     assert int(jax.device_get(t.state.step)) == len(batches)
+
+
+def test_fused_pipeline_trajectory_matches_serial(flagship_tiny_cfg,
+                                                  monkeypatch):
+    """The fused pipelined schedule (depth 1) is TRAJECTORY-IDENTICAL to
+    the reference's serial sample->score->update (core/models.py:184-195):
+    the fused dispatch applies update k-1 BEFORE sampling batch k, so
+    every sample sees exactly the params the serial schedule would have —
+    pipelining overlaps host scoring/transfers without a staleness trade.
+    Pin per-step metrics AND the final params across a 4-step async run."""
+    _force_two_phase(monkeypatch)
+    cfg = flagship_tiny_cfg
+    vocab = _make_vocab(cfg.model.num_vocab)
+    batches = [make_fake_batch(cfg, batch=8, seed=s) for s in range(4)]
+
+    t_serial = RLTrainer(_override(cfg, **{"rl.pipeline_depth": 0}), vocab,
+                         rng=jax.random.PRNGKey(7))
+    serial = [t_serial.train_step_device(t_serial.shard(b))
+              for b in batches]
+
+    t_pipe = RLTrainer(_override(cfg, **{"rl.pipeline_depth": 1}), vocab,
+                       rng=jax.random.PRNGKey(7))
+    assert t_pipe._pipeline and t_pipe._fused_step is not None
+    piped = [t_pipe.train_step_device(t_pipe.shard(b)) for b in batches]
+    piped.append(t_pipe.flush())
+    assert piped[0] is None            # one-step metric latency
+
+    for i, (a, b) in enumerate(zip(serial, piped[1:])):
+        for key in ("loss", "language_model_loss", "structure_loss",
+                    "reward"):
+            np.testing.assert_allclose(
+                np.asarray(b[key]), np.asarray(a[key]), rtol=1e-5,
+                atol=1e-6, err_msg=f"step {i} {key}")
+
+    assert int(jax.device_get(t_pipe.state.step)) == len(batches)
+    flat_s = jax.tree_util.tree_leaves(t_serial.state.params)
+    flat_p = jax.tree_util.tree_leaves(t_pipe.state.params)
+    for ls, lp in zip(flat_s, flat_p):
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                                   rtol=1e-5, atol=1e-6)
